@@ -1,0 +1,125 @@
+"""Model contract tests: output shapes, flattened head dims, parameter counts
+(SURVEY.md §2.2 computed facts), masked-sum semantics, train/eval modes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpumix.models import (
+    DummyModel,
+    GainResNet,
+    MixingModelScalar1s,
+    MixingModelScalar2s,
+    RandomModel,
+    gains_as_tuple,
+)
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def init_model(model, shape):
+    x = jnp.zeros(shape, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    return variables, x
+
+
+class TestScalar1s:
+    def test_shapes_and_param_count(self):
+        model = MixingModelScalar1s()
+        variables, x = init_model(model, (2, 4, 1025, 87))
+        masked, gains = model.apply(variables, x, train=False)
+        assert masked.shape == (2, 1025, 87)
+        assert gains.shape == (2, 4)
+        # SURVEY.md §2.2: Scalar1s 908,400 params (conv trunk 866,720 + 4x10,420 heads)
+        n = param_count(variables["params"])
+        assert n == 908_400, n
+
+    def test_flattened_dim(self):
+        # VALID conv stack at [1025, 87] must land on 490*21 = 10290 features
+        model = MixingModelScalar1s()
+        variables, x = init_model(model, (1, 4, 1025, 87))
+        fc = variables["params"]["head1"]["fc"]["kernel"]
+        assert fc.shape == (10290, 1)
+
+    def test_masked_is_gain_weighted_db_sum(self):
+        model = MixingModelScalar1s()
+        variables, x = init_model(model, (1, 4, 1025, 87))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 4, 1025, 87)).astype(np.float32))
+        masked, gains = model.apply(variables, x, train=False)
+        expected = np.einsum("bsft,bs->bft", np.asarray(x), np.asarray(gains))
+        np.testing.assert_allclose(np.asarray(masked), expected, atol=1e-4)
+
+    def test_gains_as_tuple(self):
+        g = jnp.arange(8.0).reshape(2, 4)
+        t = gains_as_tuple(g)
+        assert len(t) == 4 and t[0].shape == (2, 1)
+        np.testing.assert_array_equal(np.asarray(t[2]).ravel(), [2.0, 6.0])
+
+    def test_train_mode_runs_with_dropout_and_bn(self):
+        model = MixingModelScalar1s()
+        variables, x = init_model(model, (2, 4, 1025, 87))
+        (masked, gains), mutated = model.apply(
+            variables,
+            jnp.ones((2, 4, 1025, 87)),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        assert "batch_stats" in mutated
+        assert np.all(np.isfinite(np.asarray(gains)))
+
+
+class TestScalar2s:
+    def test_shapes_and_param_count(self):
+        model = MixingModelScalar2s()
+        variables, x = init_model(model, (1, 4, 1025, 173))
+        masked, gains = model.apply(variables, x, train=False)
+        assert masked.shape == (1, 1025, 173)
+        assert gains.shape == (1, 4)
+        n = param_count(variables["params"])
+        # SURVEY.md §2.2: Scalar2s 990,468 (trunk 866,720 + 4x30,937 heads)
+        assert n == 990_468, n
+
+    def test_flattened_dim(self):
+        model = MixingModelScalar2s()
+        variables, _ = init_model(model, (1, 4, 1025, 173))
+        fc = variables["params"]["head1"]["fc"]["kernel"]
+        assert fc.shape == (30807, 1)
+
+
+class TestResNet:
+    def test_shapes_and_flattened_dim(self):
+        model = GainResNet()
+        variables, x = init_model(model, (1, 4, 1025, 216))
+        masked, gains = model.apply(variables, x, train=False)
+        assert masked.shape == (1, 1025, 216)
+        assert gains.shape == (1, 4)
+        fc = variables["params"]["head1"]["fc"]["kernel"]
+        # reference model_resnet.py:73: flattened_dim = 231 = 33*7
+        assert fc.shape == (231, 1)
+
+
+class TestBaselines:
+    def test_dummy_model(self):
+        x = jnp.full((2, 4, 8, 6), -10.0)
+        out = DummyModel()(x)
+        assert out.shape == (2, 8, 6)
+        # 20*(log10(4) + 0.5*(-10)) — reference 10**(0.5x) quirk semantics
+        np.testing.assert_allclose(
+            np.asarray(out), 20 * (np.log10(4.0) - 5.0), atol=1e-3
+        )
+
+    def test_random_model_bounds(self):
+        rng = np.random.default_rng(7)
+        tracks = {s: rng.standard_normal((2, 100)) for s in ("bass", "drums", "vocals", "other")}
+        out = RandomModel(rng=np.random.default_rng(0)).forward(tracks)
+        for s, y in out.items():
+            ratio = y / tracks[s]
+            g = ratio[np.isfinite(ratio)][0]
+            assert 0.5 <= g <= 1.5
+            np.testing.assert_allclose(y, g * tracks[s], atol=1e-12)

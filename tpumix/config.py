@@ -1,0 +1,145 @@
+"""Configuration dataclasses for the tpumix framework.
+
+The reference codebase (apelykh/deep-audio-mixer) has no config system: every
+hyperparameter is a hard-coded literal spread across notebooks and scripts
+(e.g. STFT params at reference data/dataset.py:132-133, chunk lengths per
+notebook, batch sizes in training.ipynb cell 6).  tpumix centralises all of it
+here, which also resolves the reference's latent hop-length inconsistency:
+``dataset.compute_features`` defaults to hop=1024, but the scalar models'
+flattened head dims (10290 / 30807) require 87 / 173 frames, i.e. an effective
+hop of **512** at their nominal 1 s / 2 s chunk lengths (see SURVEY.md §2.2).
+Here every model preset pins its (chunk_length, hop) pair explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """STFT -> dB-magnitude feature frontend configuration.
+
+    Semantics match the reference frontend (reference data/dataset.py:132-162):
+    torch.stft(n_fft=2048, hop_length=1024, hann periodic window, center=True,
+    reflect padding, onesided) -> abs -> amplitude_to_DB(multiplier=20,
+    amin=1e-5, db_multiplier=0), i.e. ``20*log10(max(|S|, 1e-5))``.
+    """
+
+    n_fft: int = 2048
+    hop_length: int = 1024
+    sample_rate: int = 44100
+    amin: float = 1e-5
+    db_multiplier: float = 20.0
+    center: bool = True
+    pad_mode: str = "reflect"
+    # "fft"     : jnp.fft.rfft based (XLA FFT)
+    # "matmul"  : real-valued DFT as two matmuls against precomputed bases (MXU)
+    # "pallas"  : fused Pallas framing+DFT+log-magnitude kernel (TPU only)
+    implementation: str = "fft"
+
+    @property
+    def num_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        """Frame count for a signal of ``num_samples`` (center=True semantics:
+        ``1 + num_samples // hop_length``, as torch.stft)."""
+        if not self.center:
+            return 1 + (num_samples - self.n_fft) // self.hop_length
+        return 1 + num_samples // self.hop_length
+
+    def chunk_samples(self, chunk_length_s: float) -> int:
+        return int(round(chunk_length_s * self.sample_rate))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Gain-prediction model configuration.
+
+    ``name`` selects the architecture; (chunk_length_s, hop_length) pin the
+    frame budget each architecture's flattened head dim requires:
+
+    =========  ========  =====  =======  ==============
+    name       chunk(s)  hop    frames   flattened dim
+    =========  ========  =====  =======  ==============
+    scalar1s   1         512    87       10290 = 490*21
+    scalar2s   2         512    173      30807 = 489*63
+    resnet18   5         1024   216      231   = 33*7
+    =========  ========  =====  =======  ==============
+
+    (Derived from reference model_scalar_1s.py:220, model_scalar_2s.py:77,
+    model_resnet.py:73; see SURVEY.md §2.2.)
+    """
+
+    name: str = "scalar1s"
+    chunk_length_s: float = 1.0
+    hop_length: int = 512
+    num_stems: int = 4
+    dtype: str = "float32"  # parameter / activation dtype
+    compute_dtype: str = "float32"  # conv compute dtype ("bfloat16" for MXU speed)
+
+    def frontend(self, base: Optional[FrontendConfig] = None) -> FrontendConfig:
+        base = base or FrontendConfig()
+        return dataclasses.replace(base, hop_length=self.hop_length)
+
+    @property
+    def num_frames(self) -> int:
+        fe = self.frontend()
+        return fe.num_frames(fe.chunk_samples(self.chunk_length_s))
+
+
+def preset(name: str) -> ModelConfig:
+    """Model presets with their pinned chunk/hop pairs."""
+    presets = {
+        "scalar1s": ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512),
+        "scalar2s": ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512),
+        "resnet18": ModelConfig(name="resnet18", chunk_length_s=5.0, hop_length=1024),
+    }
+    if name not in presets:
+        raise ValueError(f"unknown model preset {name!r}; have {sorted(presets)}")
+    return presets[name]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration (parity targets: reference model_trainer.py
+    and training_ignite.ipynb cells 12-15)."""
+
+    batch_size: int = 48
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5  # Adam L2 (torch-style coupled), training.ipynb cell 11
+    num_epochs: int = 20
+    early_stopping_patience: int = 10  # ignite EarlyStopping, training_ignite.ipynb cell 13
+    checkpoint_dir: str = "./checkpoints"
+    keep_checkpoints: Optional[int] = None  # None = keep all (ignite n_saved=None)
+    seed: int = 0
+    log_every_steps: int = 30  # ignite iteration logging cadence (cell 14)
+    augment: bool = False
+    mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
+    mesh_axis_names: Tuple[str, ...] = ("dp",)
+
+
+@dataclasses.dataclass(frozen=True)
+class MixConfig:
+    """Full-song mixing configuration (parity: reference
+    inference_utils.py:105-145 ``mix_song_smooth``)."""
+
+    chunk_length_s: float = 1.0
+    savgol_polyorder: int = 2
+    # Savitzky-Golay window = num_chunks // 4, forced odd
+    # (inference_utils.py:137-139); set explicitly to override.
+    savgol_window: Optional[int] = None
+    max_chunks: int = 512  # static padded chunk-axis size for one compiled program
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    base_path: str = ""
+    layout: str = "medleydb"  # or "musdb18"
+    chunk_length_s: float = 1.0
+    sample_rate: int = 44100
+    normalize: bool = False
+    augment: bool = False
+    seed: Optional[int] = None

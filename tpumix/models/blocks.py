@@ -1,0 +1,183 @@
+"""Shared Flax building blocks for the gain-prediction models.
+
+Parity contracts (numerics, not code): the reference ConvBlock2d is
+Conv2d(padding=0) -> BatchNorm2d(momentum=0.90, eps=0.001) -> ReLU ->
+Dropout(train-only) (reference models/model_scalar_1s.py:151-190, duplicated
+in model_scalar_2s.py:9-47); the ResNet BasicBlock is the CIFAR-style
+conv-bn-relu-conv-bn + projection shortcut (model_resnet.py:6-28).
+
+TPU-first design notes:
+* NHWC layout throughout ([batch, freq, frames, channels]) — XLA's native conv
+  layout on TPU; the public model API still accepts the reference's
+  [B, stems, F, T] and transposes once at the boundary.
+* torch BatchNorm ``momentum=0.90`` means ``running = 0.1*running + 0.9*batch``;
+  Flax momentum is the *retained* fraction, so the equivalent here is
+  ``momentum=0.10``.
+* Optional ``axis_name`` syncs batch statistics across a data-parallel mesh
+  axis (no torch equivalent — the reference is single-device).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# torch BatchNorm2d(momentum=0.90) -> flax retained fraction 0.10
+BN_MOMENTUM = 0.10
+BN_EPS = 1e-3
+
+Dtype = Any
+
+
+def _pair(k: Union[int, Sequence[int]]) -> Tuple[int, int]:
+    if isinstance(k, int):
+        return (k, k)
+    return tuple(k)  # type: ignore[return-value]
+
+
+class ConvBlock2d(nn.Module):
+    """Conv2d(VALID) -> BatchNorm -> ReLU -> Dropout(train-only)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    strides: int = 1
+    dilation: int = 1
+    dropout_p: float = -1.0
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=_pair(self.kernel_size),
+            strides=(self.strides, self.strides),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding="VALID",
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        x = nn.relu(x)
+        if self.dropout_p > 0:
+            x = nn.Dropout(rate=self.dropout_p, deterministic=not train)(x)
+        return x
+
+
+class ScalarHead(nn.Module):
+    """Per-stem gain head: Conv 1x1 (C->1) -> ReLU -> flatten -> Dense(1).
+
+    Matches the reference head structure (model_scalar_1s.py:222-232,244-258).
+    With a single output channel, NHWC flatten of [B, H, W, 1] and torch's NCHW
+    flatten of [B, 1, H, W] enumerate the same H*W order, so checkpoint
+    conversion is a pure transpose-free copy for the Dense kernel.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Conv(features=1, kernel_size=(1, 1), dtype=self.dtype, name="conv")(x)
+        h = nn.relu(h)
+        h = h.reshape((h.shape[0], -1))
+        return nn.Dense(features=1, dtype=self.dtype, name="fc")(h)  # [B, 1]
+
+
+class BasicBlock(nn.Module):
+    """CIFAR-style residual block (reference model_resnet.py:6-28).
+
+    conv3x3(stride)->bn->relu->conv3x3->bn (+ 1x1 projection shortcut when
+    shape changes) -> relu.  SAME padding reproduces torch's k3/p1 and k1/p0
+    stride-2 output shapes for both parities of the input extent.
+    """
+
+    features: int
+    strides: int = 1
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        def bn(name: str):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,  # torch BatchNorm2d default momentum=0.1
+                epsilon=1e-5,
+                axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding="SAME", use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(
+            self.features, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(out)
+        out = bn("bn2")(out)
+
+        shortcut = x
+        if self.strides != 1 or x.shape[-1] != self.features:
+            shortcut = nn.Conv(
+                self.features, (1, 1), strides=(self.strides, self.strides),
+                padding="SAME", use_bias=False, dtype=self.dtype, name="shortcut_conv",
+            )(x)
+            shortcut = bn("shortcut_bn")(shortcut)
+
+        return nn.relu(out + shortcut)
+
+
+class Bottleneck(nn.Module):
+    """Bottleneck residual block (reference model_resnet.py:31-56; defined but
+    unused by the shipped ResNet18 — provided for parity/completeness)."""
+
+    features: int
+    strides: int = 1
+    expansion: int = 4
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        def bn(name: str):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        wide = self.features * self.expansion
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding="SAME", use_bias=False, dtype=self.dtype, name="conv2",
+        )(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(wide, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+
+        shortcut = x
+        if self.strides != 1 or x.shape[-1] != wide:
+            shortcut = nn.Conv(
+                wide, (1, 1), strides=(self.strides, self.strides),
+                padding="SAME", use_bias=False, dtype=self.dtype, name="shortcut_conv",
+            )(x)
+            shortcut = bn("shortcut_bn")(shortcut)
+
+        return nn.relu(out + shortcut)

@@ -1,0 +1,87 @@
+"""Scalar gain-prediction CNNs (the reference's flagship models).
+
+Shared contract (reference models/model_scalar_1s.py:234-275,
+model_scalar_2s.py:91-132): input stacked per-stem dB spectrograms
+``x [B, 4, 1025, T]``; output ``(masked, gains)`` where ``gains[B, 4]`` holds
+one scalar gain per stem and ``masked = sum_i gains_i * x_i`` is the predicted
+mix spectrogram *in the dB domain* (reference quirk, preserved: training
+multiplies scalar gains into dB values; inference reinterprets the same
+scalars as dB gains via ``10**(0.5 g)``, inference_utils.py:128-129).
+
+Architectures:
+* ``MixingModelScalar1s`` — 5 ConvBlocks (4->16 k3 s2, 16->32 k5, 32->48 k5,
+  48->64 k7, 64->128 k9) + 4 scalar heads; flattened head dim 10290 = 490*21
+  at the pinned 87-frame input (model_scalar_1s.py:211-232).
+* ``MixingModelScalar2s`` — identical except block 1 has dilation=2; flattened
+  dim 30807 = 489*63 at 173 frames (model_scalar_2s.py:68-89).
+
+TPU-first: NHWC internally, single fused forward under jit, gains returned as
+one ``[B, 4]`` array (the reference's 4-tuple of ``[B, 1]`` is available via
+``gains_as_tuple``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpumix.models.blocks import ConvBlock2d, ScalarHead
+from tpumix.ops.gain import spectral_mix
+
+NUM_STEMS = 4
+
+
+def gains_as_tuple(gains: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """``[B, S] -> (m1..mS)`` each ``[B, 1]`` (reference return convention)."""
+    return tuple(gains[:, i : i + 1] for i in range(gains.shape[1]))
+
+
+class _ScalarModelBase(nn.Module):
+    """Common trunk + heads; subclasses pin block-1 dilation."""
+
+    block1_dilation: int = 1
+    axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, *, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """:param x: ``[B, num_stems, F, T]`` stacked dB spectrograms.
+        :return: ``(masked [B, F, T], gains [B, num_stems])``."""
+        num_stems = x.shape[1]
+        # NCHW (reference layout) -> NHWC (TPU conv layout); stems become channels
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
+
+        block = lambda f, k, name, s=1, d=1, p=0.2: ConvBlock2d(  # noqa: E731
+            features=f, kernel_size=k, strides=s, dilation=d, dropout_p=p,
+            axis_name=self.axis_name, dtype=self.dtype, name=name,
+        )
+        h = block(16, 3, "conv_b1", s=2, d=self.block1_dilation)(h, train=train)
+        h = block(32, 5, "conv_b2")(h, train=train)
+        h = block(48, 5, "conv_b3")(h, train=train)
+        h = block(64, 7, "conv_b4")(h, train=train)
+        h = block(128, 9, "conv_b5", p=0.3)(h, train=train)
+
+        gains = jnp.concatenate(
+            [ScalarHead(dtype=self.dtype, name=f"head{i+1}")(h) for i in range(num_stems)],
+            axis=-1,
+        )  # [B, num_stems]
+        gains = gains.astype(jnp.float32)
+        masked = spectral_mix(x.astype(jnp.float32), gains)
+        return masked, gains
+
+
+class MixingModelScalar1s(_ScalarModelBase):
+    """1-second-chunk scalar model (87-frame input, hop 512)."""
+
+    block1_dilation: int = 1
+
+
+class MixingModelScalar2s(_ScalarModelBase):
+    """2-second-chunk scalar model (173-frame input, hop 512); block 1 uses
+    dilation=2 (reference model_scalar_2s.py:68)."""
+
+    block1_dilation: int = 2
