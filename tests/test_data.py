@@ -1,0 +1,245 @@
+"""Data layer: WAV I/O, loaders, songlist registry parity, dataset indexing,
+precompute cache, batching."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from tpumix.data import wavio
+from tpumix.data.dataset import MultitrackAudioDataset, STEMS
+from tpumix.data.loaders import (
+    load_tracks,
+    load_tracks_musdb18,
+    split_songlist,
+)
+from tpumix.data.prefetch import BatchIterator, prefetch_to_device
+from tpumix.data import songlists
+
+SR = 44100
+
+
+def make_song(base: str, name: str, dur_s: float, sr: int = SR, layout: str = "medleydb",
+              stereo: bool = True, seed: int = 0):
+    """Write a synthetic 5-track song in the given directory layout."""
+    rng = np.random.default_rng(seed)
+    n = int(dur_s * sr)
+    t = np.arange(n) / sr
+    stems = {
+        "bass": 0.4 * np.sin(2 * np.pi * 60 * t),
+        "drums": 0.3 * (rng.standard_normal(n) * (np.sin(2 * np.pi * 2 * t) > 0.9)),
+        "vocals": 0.3 * np.sin(2 * np.pi * 440 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 0.5 * t)),
+        "other": 0.2 * np.sin(2 * np.pi * 220 * t),
+    }
+    mix = sum(stems.values())
+    if layout == "medleydb":
+        song_dir = os.path.join(base, name)
+        stem_dir = os.path.join(song_dir, f"{name}_STEMS_JOINED")
+        os.makedirs(stem_dir, exist_ok=True)
+        paths = {s: os.path.join(stem_dir, f"{name}_STEM_{s.upper()}.wav") for s in stems}
+        paths["mix"] = os.path.join(song_dir, f"{name}_MIX.wav")
+    else:
+        song_dir = os.path.join(base, name)
+        os.makedirs(song_dir, exist_ok=True)
+        paths = {s: os.path.join(song_dir, f"{s}.wav") for s in stems}
+        paths["mix"] = os.path.join(song_dir, "mixture.wav")
+    for s, audio in {**stems, "mix": mix}.items():
+        data = np.stack([audio, audio], axis=1) if stereo else audio
+        wavio.write(paths[s], data.astype(np.float32), sr)
+    return {**stems, "mix": mix}
+
+
+@pytest.fixture(scope="module")
+def medley_dir(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("medley"))
+    make_song(base, "SongA", 4.0, seed=1)
+    make_song(base, "SongB", 6.5, seed=2)
+    return base
+
+
+class TestWavio:
+    @pytest.mark.parametrize("subtype,tol", [
+        ("FLOAT", 1e-7), ("PCM_16", 1e-4), ("PCM_24", 3e-7), ("PCM_32", 1e-9),
+    ])
+    def test_roundtrip(self, tmp_path, subtype, tol):
+        rng = np.random.default_rng(0)
+        x = np.clip(rng.standard_normal((1000, 2)) * 0.3, -1, 1).astype(np.float32)
+        p = str(tmp_path / f"t_{subtype}.wav")
+        wavio.write(p, x, SR, subtype=subtype)
+        y, sr = wavio.read(p)
+        assert sr == SR and y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=tol)
+
+    def test_mono_shapes(self, tmp_path):
+        x = np.zeros(100, dtype=np.float32)
+        p = str(tmp_path / "mono.wav")
+        wavio.write(p, x, SR)
+        y, _ = wavio.read(p)
+        assert y.shape == (100,)
+        y2, _ = wavio.read(p, always_2d=True)
+        assert y2.shape == (100, 1)
+
+    def test_partial_read(self, tmp_path):
+        x = np.arange(1000, dtype=np.float32) / 1000
+        p = str(tmp_path / "part.wav")
+        wavio.write(p, x, SR)
+        y, _ = wavio.read(p, start=100, stop=200)
+        np.testing.assert_allclose(y, x[100:200], atol=1e-7)
+        # out-of-range clamping
+        y2, _ = wavio.read(p, start=900, stop=5000)
+        assert y2.shape == (100,)
+
+    def test_info(self, tmp_path):
+        x = np.zeros((2 * SR, 2), dtype=np.float32)
+        p = str(tmp_path / "info.wav")
+        wavio.write(p, x, SR)
+        meta = wavio.info(p)
+        assert meta.frames == 2 * SR
+        assert meta.channels == 2
+        assert abs(meta.duration - 2.0) < 1e-9
+
+    def test_resample(self):
+        t = np.arange(48000) / 48000
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = wavio.resample_poly(x, 48000, 44100, axis=-1)
+        assert abs(len(y) - 44100) <= 1
+
+
+class TestSonglists:
+    def test_registry_matches_reference(self):
+        """Verbatim data parity with reference data/songlists.py constants."""
+        spec = importlib.util.spec_from_file_location(
+            "ref_songlists", "/root/reference/data/songlists.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        for key in songlists.available_songlists():
+            assert list(getattr(ref, key)) == songlists.get_songlist(key), key
+
+    def test_get_songlist_returns_copy(self):
+        a = songlists.get_songlist("musdb18_test")
+        a.append("mutation")
+        assert "mutation" not in songlists.get_songlist("musdb18_test")
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            songlists.get_songlist("nope")
+
+
+class TestLoaders:
+    def test_load_tracks_medleydb(self, medley_dir):
+        tracks = load_tracks(medley_dir, "SongA")
+        assert set(tracks) == {"bass", "drums", "vocals", "other", "mix"}
+        assert tracks["bass"].shape == (2, 4 * SR)
+
+    def test_load_tracks_musdb18(self, tmp_path):
+        base = str(tmp_path)
+        make_song(base, "M1", 2.0, layout="musdb18")
+        tracks = load_tracks_musdb18(base, "M1", tracklist=("bass", "drums", "vocals", "other"))
+        assert set(tracks) == {"bass", "drums", "vocals", "other"}
+        assert tracks["drums"].shape == (2, 2 * SR)
+
+    def test_split(self):
+        songs = [f"s{i}" for i in range(10)]
+        tr, va, te = split_songlist(songs, (0.6, 0.2, 0.2), seed=0)
+        assert len(tr) == 6 and len(va) == 2 and len(te) == 2
+        assert sorted(tr + va + te) == sorted(songs)
+        tr2, _, _ = split_songlist(songs, (0.6, 0.2, 0.2), seed=0)
+        assert tr == tr2  # deterministic under seed
+
+
+class TestDataset:
+    def test_length_and_indexing(self, medley_dir):
+        d = MultitrackAudioDataset(medley_dir, chunk_length=2.0, seed=3)
+        # SongA 4s -> 2 chunks; SongB 6.5s -> 3 chunks
+        assert len(d) == 5
+        seen = set()
+        for i in range(len(d)):
+            song_i, chunk_i = d.song_and_chunk(i)
+            seen.add((d.songlist[song_i], chunk_i))
+        assert seen == {("SongA", 0), ("SongA", 1), ("SongB", 0), ("SongB", 1), ("SongB", 2)}
+
+    def test_audio_items(self, medley_dir):
+        d = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3)
+        stems, mix = d[0]
+        assert stems.shape == (4, SR)
+        assert mix.shape == (SR,)
+        assert stems.dtype == np.float32
+
+    def test_feature_items_reference_shape(self, medley_dir):
+        d = MultitrackAudioDataset(
+            medley_dir, chunk_length=1.0, seed=3, return_features=True, hop_length=512
+        )
+        train, gt = d[0]
+        assert train.shape == (4, 1025, 87)
+        assert gt.shape == (1025, 87)
+
+    def test_features_match_device_frontend(self, medley_dir):
+        import jax.numpy as jnp
+
+        from tpumix.config import FrontendConfig
+        from tpumix.ops.stft import spectrogram_features
+
+        d = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3)
+        stems, _ = d[1]
+        host = d.compute_features(stems[0])
+        dev = np.asarray(
+            spectrogram_features(jnp.asarray(stems[0]), FrontendConfig(hop_length=1024))
+        )
+        # host path uses f64 FFT, device f32: near-silent bins of the tonal
+        # test signal deviate in dB; the spectrum bulk and all loud bins agree
+        diff = np.abs(host - dev)
+        assert np.quantile(diff, 0.95) < 2e-3
+        loud = host > -60.0
+        assert np.max(diff[loud]) < 1e-2
+
+    def test_augmentation_bounds(self, medley_dir):
+        d0 = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3)
+        d1 = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3, augment_data=True)
+        s0, _ = d0[0]
+        s1, _ = d1[0]
+        for k in range(4):
+            nz = np.abs(s0[k]) > 1e-6
+            if nz.any():
+                g = (s1[k][nz] / s0[k][nz]).mean()
+                assert 0.6 - 1e-3 <= g <= 1.4 + 1e-3
+
+    def test_precompute_cache_roundtrip(self, medley_dir, tmp_path):
+        cache = str(tmp_path / "cache")
+        d = MultitrackAudioDataset(
+            medley_dir, chunk_length=1.0, seed=3, return_features=True,
+            hop_length=512, cache_dir=cache,
+        )
+        direct = d[2]
+        d.precompute_features()
+        cached = d[2]
+        np.testing.assert_allclose(cached[0], direct[0], atol=1e-6)
+        np.testing.assert_allclose(cached[1], direct[1], atol=1e-6)
+
+    def test_mean_loudness(self, medley_dir):
+        d = MultitrackAudioDataset(medley_dir, chunk_length=2.0, seed=3)
+        ml = d.compute_mean_loudness()
+        assert set(ml) == {"bass", "drums", "vocals", "other", "mix"}
+        assert all(np.isfinite(v) for v in ml.values())
+        assert ml["mix"] > ml["other"]  # mix is louder than any single stem
+
+
+class TestBatching:
+    def test_batch_iterator(self, medley_dir):
+        d = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3)
+        it = BatchIterator(d, batch_size=4, seed=0)
+        batches = list(it)
+        assert len(batches) == len(d) // 4
+        stems, mix = batches[0]
+        assert stems.shape == (4, 4, SR)
+        assert mix.shape == (4, SR)
+
+    def test_prefetch_to_device(self, medley_dir):
+        d = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3)
+        it = BatchIterator(d, batch_size=2, seed=0)
+        n = 0
+        for stems, mix in prefetch_to_device(iter(it), size=2):
+            assert stems.shape[0] == 2
+            n += 1
+        assert n == len(it)

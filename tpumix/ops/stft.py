@@ -150,6 +150,29 @@ def spectrogram_features(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> 
     return jnp.swapaxes(db, -1, -2)
 
 
+def spectrogram_features_np(x: np.ndarray, cfg: Optional[FrontendConfig] = None) -> np.ndarray:
+    """Pure-numpy host-side mirror of :func:`spectrogram_features` — used as
+    the conformance oracle and by host tooling that must not touch the device
+    (CPU baseline benchmark, dataset parity API).  Output ``[bins, frames]``."""
+    cfg = cfg or FrontendConfig()
+    x = np.asarray(x, dtype=np.float32)
+    pad = cfg.n_fft // 2
+    if cfg.center:
+        xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=cfg.pad_mode)
+    else:
+        xp = x
+    num_frames = 1 + (xp.shape[-1] - cfg.n_fft) // cfg.hop_length
+    strides = xp.strides[:-1] + (cfg.hop_length * xp.strides[-1], xp.strides[-1])
+    frames = np.lib.stride_tricks.as_strided(
+        xp, shape=xp.shape[:-1] + (num_frames, cfg.n_fft), strides=strides
+    )
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(cfg.n_fft) / cfg.n_fft)).astype(np.float32)
+    spec = np.fft.rfft(frames * w, axis=-1)
+    mag = np.abs(spec).astype(np.float32)
+    db = cfg.db_multiplier * np.log10(np.maximum(mag, cfg.amin))
+    return np.swapaxes(db, -1, -2)
+
+
 def spectrogram_features_tm(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> jax.Array:
     """Frontend in time-major layout ``[..., frames, bins]`` — the TPU-friendly
     internal layout (frames on sublanes, bins on lanes) used by the batched
