@@ -1,0 +1,220 @@
+"""Training layer: fused train step semantics, loss descent on synthetic data,
+checkpoint save/restore, early stopping, and data-parallel mesh training on
+the 8-device CPU simulation mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpumix.config import FrontendConfig, TrainConfig
+from tpumix.models import MixingModelScalar1s
+from tpumix.parallel.mesh import make_mesh
+from tpumix.train.state import (
+    adam_with_l2,
+    create_train_state,
+    make_eval_step,
+    make_feature_train_step,
+    make_train_step,
+)
+from tpumix.train.trainer import Trainer
+
+SR = 8000
+CHUNK = 6000  # 0.75 s -> 47 frames at hop 128
+FRONTEND = FrontendConfig(n_fft=256, hop_length=128, sample_rate=SR)
+
+
+class SynthChunks:
+    """Tiny in-memory dataset: 4 stems with fixed true mix gains."""
+
+    def __init__(self, n_items=16, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(CHUNK) / SR
+        self.items = []
+        true_gains = np.array([0.9, 1.1, 0.8, 1.2], dtype=np.float32)
+        for i in range(n_items):
+            freqs = rng.uniform(50, 3000, size=4)
+            stems = np.stack(
+                [
+                    (0.2 + 0.1 * rng.random())
+                    * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+                    for f in freqs
+                ]
+            ).astype(np.float32)
+            stems += 0.01 * rng.standard_normal(stems.shape).astype(np.float32)
+            mix = (true_gains[:, None] * stems).sum(axis=0)
+            self.items.append((stems, mix.astype(np.float32)))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def batches(ds, bs=8):
+    out = []
+    for lo in range(0, len(ds), bs):
+        items = [ds[i] for i in range(lo, min(lo + bs, len(ds)))]
+        out.append(tuple(np.stack(p) for p in zip(*items)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    ds = SynthChunks(16)
+    return batches(ds, bs=8)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, data):
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_train_step(model, FRONTEND, tx))
+        rng = jax.random.key(1)
+        losses = []
+        for epoch in range(12):
+            for stems, mix in data:
+                state, m = step(state, jnp.asarray(stems), jnp.asarray(mix), rng)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses
+
+    def test_eval_step_no_state_mutation(self, data):
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        ev = jax.jit(make_eval_step(model, FRONTEND))
+        stems, mix = data[0]
+        l1 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
+        l2 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
+        assert l1 == l2 and np.isfinite(l1)
+
+    def test_feature_step(self, data):
+        from tpumix.ops.stft import spectrogram_features
+
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_feature_train_step(model, tx))
+        stems, mix = data[0]
+        feats = spectrogram_features(jnp.asarray(stems), FRONTEND)
+        gt = spectrogram_features(jnp.asarray(mix), FRONTEND)
+        state2, m = step(state, feats, gt, jax.random.key(2))
+        assert np.isfinite(float(m["loss"]))
+        assert int(state2.step) == 1
+
+    def test_adam_l2_matches_torch_semantics(self):
+        # one step on a scalar param: grad' = grad + wd*param, then adam
+        import optax
+
+        tx = adam_with_l2(0.1, 0.5)
+        params = {"w": jnp.asarray(2.0)}
+        opt = tx.init(params)
+        grads = {"w": jnp.asarray(1.0)}
+        updates, _ = tx.update(grads, opt, params)
+        # effective grad = 1 + 0.5*2 = 2; adam step ~ -lr * g/(sqrt(g^2)+eps) ~ -0.1
+        assert abs(float(updates["w"]) + 0.1) < 1e-3
+
+
+class TestMeshTraining:
+    def test_dp_training_on_8_device_mesh(self, data):
+        assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+        mesh = make_mesh((8,), ("dp",))
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, learning_rate=1e-3, seed=0)
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), mesh=mesh, run_name="mesh_test")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        res = tr.fit(Loader(), Loader(), 0, 1)
+        assert len(res.train_loss) == 1 and np.isfinite(res.train_loss[0])
+
+    def test_dp_matches_single_device(self, data):
+        """One DP step on the mesh == one step on a single device."""
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        raw_step = make_train_step(model, FRONTEND, tx)
+        stems, mix = data[0]
+        rng = jax.random.key(3)
+
+        s_single, m_single = jax.jit(raw_step)(
+            state, jnp.asarray(stems), jnp.asarray(mix), rng
+        )
+
+        from tpumix.parallel.mesh import data_parallel_jit, shard_batch
+
+        mesh = make_mesh((8,), ("dp",))
+        state2 = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        sh_stems, sh_mix = shard_batch((stems, mix), mesh)
+        s_mesh, m_mesh = data_parallel_jit(raw_step, mesh, donate_state=False)(
+            state2, sh_stems, sh_mix, rng
+        )
+        # f32 reduction order differs between the sharded and single-device
+        # programs; agreement to ~1e-4 relative confirms the gradient psum
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
+        )
+        l1 = jax.tree.leaves(s_single.params)
+        l2 = jax.tree.leaves(s_mesh.params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestTrainerLoop:
+    def test_fit_checkpoints_and_early_stop(self, data, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(
+            batch_size=8,
+            num_epochs=3,
+            learning_rate=1e-3,
+            checkpoint_dir=str(tmp_path),
+            early_stopping_patience=10,
+            seed=0,
+        )
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="loop_test")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        res = tr.fit(Loader(), Loader(), 0, 3)
+        assert len(res.train_loss) == 3
+        assert res.train_loss[-1] < res.train_loss[0]
+
+        # restore epoch 0 and confirm state round-trips
+        params_before = jax.tree.leaves(tr.state.params)[0].copy()
+        tr.restore_checkpoint(0)
+        params_after = jax.tree.leaves(tr.state.params)[0]
+        assert not np.allclose(np.asarray(params_before), np.asarray(params_after))
+
+    def test_keep_best_k(self, data, tmp_path):
+        import os
+
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(
+            batch_size=8, num_epochs=3, checkpoint_dir=str(tmp_path),
+            keep_checkpoints=1, seed=0,
+        )
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="keep1")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        tr.fit(Loader(), Loader(), 0, 3)
+        kept = [d for d in os.listdir(tr.ckpt_dir) if d.startswith("epoch_")]
+        assert len(kept) == 1

@@ -1,0 +1,153 @@
+"""Train state and the fused, pjit-able train/eval steps.
+
+Parity contract: the reference training semantics (reference
+model_trainer.py:25-44 and training.ipynb cell 11) — per-batch
+``MSE(masked, gt_spectrogram)`` with Adam(lr, weight_decay=1e-5) where weight
+decay is torch-style *coupled* L2 (added to the gradient before the Adam
+moments, not AdamW) — plus dropout and batch-norm running-stat updates.
+
+TPU-first design:
+* **The STFT frontend runs inside the jitted step.**  The step takes raw
+  waveform batches ``(stems [B, 4, S], mix [B, S])`` and computes all 5*B
+  spectrograms on device as part of one XLA program — the reference burns its
+  training wall-clock on per-item CPU torch.stft in DataLoader workers
+  (SURVEY.md §3.1 "HOT").  Device-side augmentation (waveform random gain,
+  reference data/dataset.py:164-168) folds into the same program.
+* **Data parallelism via GSPMD**: the step is sharding-agnostic; jit it with
+  batch inputs sharded over a mesh 'dp' axis and replicated params
+  (tpumix/parallel/mesh.py) and XLA inserts the gradient psum and global
+  batch-norm reductions automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpumix.config import FrontendConfig, TrainConfig
+from tpumix.ops.gain import augment_audio
+from tpumix.ops.stft import spectrogram_features
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def adam_with_l2(learning_rate: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(weight_decay=wd) equivalence: grad += wd * param
+    BEFORE the Adam moment updates (coupled L2, not decoupled AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-learning_rate),
+    )
+
+
+def create_train_state(
+    model, rng: jax.Array, input_shape: Tuple[int, ...], tx: optax.GradientTransformation
+) -> TrainState:
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    frontend: FrontendConfig,
+    tx: optax.GradientTransformation,
+    augment: bool = False,
+) -> Callable:
+    """Build the fused waveform-in train step:
+    ``(state, stems [B,4,S], mix [B,S], rng) -> (state, metrics)``."""
+
+    def step(state: TrainState, stems: jax.Array, mix: jax.Array, rng: jax.Array):
+        aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        if augment:
+            stems = augment_audio(stems, aug_rng)  # per (batch, stem) random gain
+
+        feats = spectrogram_features(stems, frontend)  # [B, 4, F, T]
+        gt = spectrogram_features(mix, frontend)  # [B, F, T]
+
+        def loss_fn(params):
+            (masked, gains), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            loss = jnp.mean(jnp.square(masked - gt))
+            return loss, (mutated["batch_stats"], gains)
+
+        (loss, (new_bs, gains)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
+        )
+        metrics = {"loss": loss, "mean_gain": jnp.mean(gains)}
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, frontend: FrontendConfig) -> Callable:
+    """Fused eval step: ``(state, stems, mix) -> loss`` with running BN stats
+    and no dropout (reference _validate_epoch, model_trainer.py:14-23)."""
+
+    def step(state: TrainState, stems: jax.Array, mix: jax.Array):
+        feats = spectrogram_features(stems, frontend)
+        gt = spectrogram_features(mix, frontend)
+        masked, gains = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, feats, train=False
+        )
+        return jnp.mean(jnp.square(masked - gt))
+
+    return step
+
+
+def make_feature_train_step(
+    model, tx: optax.GradientTransformation
+) -> Callable:
+    """Feature-input variant for precomputed-feature pipelines (reference
+    ``compute_features=False`` path, data/dataset.py:253-268):
+    ``(state, feats [B,4,F,T], gt [B,F,T], rng) -> (state, metrics)``."""
+
+    def step(state: TrainState, feats: jax.Array, gt: jax.Array, rng: jax.Array):
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            (masked, gains), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            loss = jnp.mean(jnp.square(masked - gt))
+            return loss, (mutated["batch_stats"], gains)
+
+        (loss, (new_bs, gains)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
+        )
+        return new_state, {"loss": loss}
+
+    return step

@@ -1,0 +1,211 @@
+"""Training loop: epochs, validation, Orbax checkpointing, best-k scoring,
+early stopping, CSV metrics.
+
+Parity targets:
+* plain loop semantics — per-epoch train pass + full val pass, per-epoch
+  checkpoint, returned loss histories (reference model_trainer.py:46-67);
+* ignite-style handlers — checkpoints scored by ``-train_mse`` with keep-all
+  or keep-best-k, EarlyStopping(patience) on the val evaluator, iteration
+  logging cadence (reference training_ignite.ipynb cells 12-15);
+* run naming ``{datetime}_training_{model}_{chunk}s`` (cell 2).
+
+TPU-first: one jitted waveform-in train step (tpumix/train/state.py), GSPMD
+data-parallel over a mesh when provided, background host->device prefetch.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import datetime
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpumix.config import FrontendConfig, TrainConfig
+from tpumix.data.prefetch import BatchIterator, prefetch_to_device
+from tpumix.parallel.mesh import data_parallel_jit, make_mesh, replicated, shard_batch
+from tpumix.train.state import (
+    TrainState,
+    adam_with_l2,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    train_loss: List[float]
+    val_loss: List[float]
+    best_epoch: int
+    best_val_loss: float
+    stopped_early: bool
+
+
+class Trainer:
+    """Orchestrates training of a gain-prediction model on waveform batches."""
+
+    def __init__(
+        self,
+        model,
+        frontend: FrontendConfig,
+        config: TrainConfig,
+        input_shape: Tuple[int, ...],
+        mesh=None,
+        run_name: Optional[str] = None,
+    ):
+        self.model = model
+        self.frontend = frontend
+        self.config = config
+        self.mesh = mesh
+        self.tx = adam_with_l2(config.learning_rate, config.weight_decay)
+        self.state = create_train_state(
+            model, jax.random.key(config.seed), input_shape, self.tx
+        )
+
+        train_step = make_train_step(model, frontend, self.tx, augment=config.augment)
+        eval_step = make_eval_step(model, frontend)
+        if mesh is not None:
+            self.state = jax.device_put(self.state, replicated(mesh))
+            self._train_step = data_parallel_jit(train_step, mesh)
+            self._eval_step = jax.jit(eval_step)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_step)
+
+        stamp = datetime.datetime.now().strftime("%d-%m-%Y-%H:%M")
+        self.run_name = run_name or f"{stamp}_training_{type(model).__name__}"
+        self.ckpt_dir = os.path.abspath(os.path.join(config.checkpoint_dir, self.run_name))
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._checkpointer = ocp.StandardCheckpointer()
+        self._scores: Dict[int, float] = {}
+        self._metrics_path = os.path.join(self.ckpt_dir, "metrics.csv")
+
+    # --- checkpointing -------------------------------------------------------
+
+    def _ckpt_path(self, epoch: int) -> str:
+        return os.path.join(self.ckpt_dir, f"epoch_{epoch:04d}")
+
+    def save_checkpoint(self, epoch: int, score: float) -> None:
+        """Save; score convention follows ignite's ``-train_mse`` (higher is
+        better).  With keep_checkpoints=k, only the top-k scored survive."""
+        self._checkpointer.save(
+            self._ckpt_path(epoch),
+            dict(
+                params=self.state.params,
+                batch_stats=self.state.batch_stats,
+                opt_state=self.state.opt_state,
+                step=self.state.step,
+            ),
+            force=True,
+        )
+        self._checkpointer.wait_until_finished()
+        self._scores[epoch] = score
+        with open(os.path.join(self.ckpt_dir, "scores.json"), "w") as f:
+            json.dump(self._scores, f)
+        k = self.config.keep_checkpoints
+        if k is not None and len(self._scores) > k:
+            for ep in sorted(self._scores, key=self._scores.get)[: len(self._scores) - k]:
+                path = self._ckpt_path(ep)
+                if os.path.exists(path):
+                    import shutil
+
+                    shutil.rmtree(path)
+                del self._scores[ep]
+
+    def restore_checkpoint(self, epoch: int) -> None:
+        target = dict(
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+        )
+        restored = self._checkpointer.restore(self._ckpt_path(epoch), target)
+        self.state = TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+
+    # --- loops ---------------------------------------------------------------
+
+    def _run_train_epoch(self, loader, rng) -> float:
+        total, count = 0.0, 0
+        it = iter(loader)
+        if self.mesh is None:
+            it = prefetch_to_device(it, size=2)
+        for i, (stems, mix) in enumerate(it):
+            if self.mesh is not None:
+                stems, mix = shard_batch((stems, mix), self.mesh)
+            self.state, metrics = self._train_step(
+                self.state, jnp.asarray(stems), jnp.asarray(mix), rng
+            )
+            loss = float(metrics["loss"])
+            total += loss
+            count += 1
+            if (i + 1) % self.config.log_every_steps == 0:
+                print(f"  [{i + 1}/{len(loader)}] loss: {loss:.4f}")
+        return total / max(count, 1)
+
+    def _run_val_epoch(self, loader) -> float:
+        total, count = 0.0, 0
+        for stems, mix in loader:
+            total += float(self._eval_step(self.state, jnp.asarray(stems), jnp.asarray(mix)))
+            count += 1
+        return total / max(count, 1)
+
+    def fit(
+        self,
+        train_loader,
+        val_loader,
+        start_epoch: int = 0,
+        num_epochs: Optional[int] = None,
+    ) -> TrainResult:
+        num_epochs = num_epochs or self.config.num_epochs
+        rng = jax.random.key(self.config.seed + 1)
+        train_hist, val_hist = [], []
+        best_val, best_epoch = float("inf"), -1
+        bad_epochs = 0
+        stopped = False
+
+        with open(self._metrics_path, "a", newline="") as f:
+            writer = csv.writer(f)
+            if f.tell() == 0:
+                writer.writerow(["epoch", "train_loss", "val_loss", "seconds"])
+
+            for epoch in range(start_epoch, start_epoch + num_epochs):
+                tic = time.time()
+                train_loss = self._run_train_epoch(train_loader, rng)
+                val_loss = self._run_val_epoch(val_loader)
+                dt = time.time() - tic
+                train_hist.append(train_loss)
+                val_hist.append(val_loss)
+                print(
+                    f"Epoch {epoch}: train {train_loss:.4f}  val {val_loss:.4f}  ({dt:.1f}s)"
+                )
+                writer.writerow([epoch, f"{train_loss:.6f}", f"{val_loss:.6f}", f"{dt:.2f}"])
+                f.flush()
+
+                self.save_checkpoint(epoch, score=-train_loss)
+
+                if val_loss < best_val - 1e-12:
+                    best_val, best_epoch = val_loss, epoch
+                    bad_epochs = 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs >= self.config.early_stopping_patience:
+                        print(f"Early stopping at epoch {epoch} (patience exhausted)")
+                        stopped = True
+                        break
+
+        return TrainResult(train_hist, val_hist, best_epoch, best_val, stopped)
