@@ -162,10 +162,41 @@ class TestMeshTraining:
         np.testing.assert_allclose(
             float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
         )
-        l1 = jax.tree.leaves(s_single.params)
-        l2 = jax.tree.leaves(s_mesh.params)
-        for a, b in zip(l1, l2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        # compare raw gradients (post-Adam params are ill-conditioned: the
+        # first Adam step is ~ +/- lr*sign(g), so eps-sized grad noise flips
+        # whole entries) — grads must match to reduction-order noise
+        from tpumix.ops.stft import spectrogram_features
+        from tpumix.parallel.mesh import batch_sharding, replicated
+
+        def grads_fn(state_, stems_, mix_):
+            feats = spectrogram_features(stems_, FRONTEND)
+            gt = spectrogram_features(mix_, FRONTEND)
+
+            def loss_fn(p):
+                (masked, _), _ = model.apply(
+                    {"params": p, "batch_stats": state_.batch_stats},
+                    feats, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(0)},
+                )
+                return jnp.mean(jnp.square(masked - gt))
+
+            return jax.grad(loss_fn)(state_.params)
+
+        g_single = jax.jit(grads_fn)(state, jnp.asarray(stems), jnp.asarray(mix))
+
+        def sharded_grads(state_, stems_, mix_):
+            stems_ = jax.lax.with_sharding_constraint(stems_, batch_sharding(mesh, stems_.ndim))
+            mix_ = jax.lax.with_sharding_constraint(mix_, batch_sharding(mesh, mix_.ndim))
+            return jax.lax.with_sharding_constraint(
+                grads_fn(state_, stems_, mix_), replicated(mesh)
+            )
+
+        g_mesh = jax.jit(sharded_grads)(state2, sh_stems, sh_mix)
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+            scale = max(1e-3, float(np.max(np.abs(np.asarray(a)))))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4
+            )
 
 
 class TestTrainerLoop:
