@@ -1,0 +1,195 @@
+"""Full-song mixing: batched gains-for-all-chunks in ONE XLA program.
+
+The reference mixes a song chunk-at-a-time: a Python loop computes 4 CPU
+STFTs, ships a batch-of-1 feature tensor to the device, and runs the model
+once per chunk (reference inference_utils.py:111-130 — the device boundary is
+crossed once per chunk per song, SURVEY.md §3.2).  tpumix replaces that loop
+with a single jitted program:
+
+    waveforms [4, S] -> reshape to [N_chunks, 4, C] -> frontend (all chunks x
+    stems batched) -> model forward (one batch) -> gains [N_chunks, 4]
+
+then a tiny host epilogue applies the reference's smoothing semantics:
+``10**(0.5 g)`` dB->amplitude (inference_utils.py:129), Savitzky-Golay with
+window ``num_chunks // 4`` forced odd, polyorder 2 (:137-140), nearest-
+neighbour stretch to sample level (:12-41), and per-stem waveform scaling
+(:142-143).  Chunk counts are padded to bucketed static sizes so one compiled
+program serves a whole catalogue; the chunk axis shards across a device mesh
+for multi-chip mixing.
+
+Reference-semantics notes (preserved deliberately):
+* gains are computed for windows ``[(i-1)C, iC)`` for ``i in 1..num_chunks``,
+  i.e. the LAST chunk gets no gain of its own and the gain curve has
+  ``num_chunks - 1`` entries (inference_utils.py:111-113);
+* features are computed on the mono downmix (channel mean), matching the
+  training frontend (reference data/dataset.py:195-196); gains then scale the
+  full stereo waveform;
+* the smoothed+stretched gain multiplies the *entire* track length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumix.config import MixConfig, ModelConfig
+from tpumix.ops.smoothing import (
+    default_savgol_window,
+    interpolate_mask_np,
+    savgol_smooth,
+)
+from tpumix.ops.stft import spectrogram_features
+
+STEMS: Tuple[str, ...] = ("bass", "drums", "vocals", "other")
+
+
+def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
+    """Static padded chunk count: limits distinct compiled program shapes to
+    len(buckets) across a whole catalogue of song lengths."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 1023) // 1024) * 1024
+
+
+class SongMixer:
+    """Batched full-song gain computation + reference-parity mixing."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        model_cfg: ModelConfig,
+        mix_cfg: Optional[MixConfig] = None,
+        mesh=None,
+        chunk_axis: Optional[str] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.model_cfg = model_cfg
+        self.mix_cfg = mix_cfg or MixConfig(chunk_length_s=model_cfg.chunk_length_s)
+        self.frontend = model_cfg.frontend()
+        self.chunk_samples = self.frontend.chunk_samples(model_cfg.chunk_length_s)
+        self.mesh = mesh
+        self.chunk_axis = chunk_axis
+
+        @functools.partial(jax.jit, static_argnames=())
+        def gains_fn(chunk_wavs: jax.Array) -> jax.Array:
+            """[N, num_stems, C] waveform chunks -> [N, num_stems] gains."""
+            if self.mesh is not None and self.chunk_axis is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunk_wavs = jax.lax.with_sharding_constraint(
+                    chunk_wavs, NamedSharding(self.mesh, P(self.chunk_axis, None, None))
+                )
+            feats = spectrogram_features(chunk_wavs, self.frontend)  # [N, 4, F, T]
+            _, gains = self.model.apply(self.variables, feats, train=False)
+            return gains
+
+        self._gains_fn = gains_fn
+
+    # --- device path ---------------------------------------------------------
+
+    def song_gains(self, stems: np.ndarray) -> np.ndarray:
+        """Per-chunk raw gains for a whole song in one device call.
+
+        :param stems: ``[4, S]`` mono stem waveforms (bass, drums, vocals,
+            other order — tpumix STEMS).
+        :return: ``[num_chunks - 1, 4]`` scalar gains (reference window
+            indexing, see module docstring).
+        """
+        num_stems, S = stems.shape
+        C = self.chunk_samples
+        num_chunks = S // C
+        n_gains = num_chunks - 1
+        if n_gains <= 0:
+            return np.zeros((0, num_stems), dtype=np.float32)
+
+        usable = stems[:, : n_gains * C]
+        chunks = usable.reshape(num_stems, n_gains, C).transpose(1, 0, 2)  # [N,4,C]
+
+        padded_n = _bucket(n_gains)
+        if self.mesh is not None and self.chunk_axis is not None:
+            # keep the sharded chunk axis divisible by the mesh axis
+            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
+            padded_n = -(-padded_n // axis) * axis
+        pad = padded_n - n_gains
+        if pad:
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad, num_stems, C), dtype=chunks.dtype)], axis=0
+            )
+
+        gains = np.asarray(self._gains_fn(jnp.asarray(chunks, dtype=jnp.float32)))
+        return gains[:n_gains]
+
+    # --- host epilogue -------------------------------------------------------
+
+    def mix_song_smooth(
+        self, loaded_tracks: Dict[str, np.ndarray]
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, list], Dict[str, list]]:
+        """Reference-parity API (inference_utils.py:105-145):
+        ``(mixed_tracks, raw_gains, smooth_gains)`` dicts keyed by stem.
+
+        ``loaded_tracks`` values are ``[channels, S]`` or ``[S]`` waveforms.
+        """
+        # feature input: mono downmix of each stem
+        def mono(x):
+            x = np.asarray(x, dtype=np.float32)
+            return x.mean(axis=0) if x.ndim == 2 else x
+
+        stem_mono = np.stack([mono(loaded_tracks[t]) for t in STEMS])  # [4, S]
+        gains = self.song_gains(stem_mono)  # [n_gains, 4] (model-scalar dB domain)
+        amp_gains = 10.0 ** (0.5 * gains)  # scalar_dB_to_amplitude, dataset_utils.py:46-50
+
+        S = stem_mono.shape[1]
+        num_chunks = S // self.chunk_samples
+        raw_gains = {t: list(map(float, amp_gains[:, i])) for i, t in enumerate(STEMS)}
+
+        smooth_gains: Dict[str, list] = {}
+        mixed_tracks: Dict[str, np.ndarray] = {}
+        n_gains = amp_gains.shape[0]
+        for i, t in enumerate(STEMS):
+            curve = amp_gains[:, i]
+            if n_gains >= 3:
+                win = self.mix_cfg.savgol_window or default_savgol_window(num_chunks)
+                win = min(win, n_gains if n_gains % 2 else n_gains - 1)
+                win = max(win, self.mix_cfg.savgol_polyorder + 1 + (self.mix_cfg.savgol_polyorder % 2))
+                poly = min(self.mix_cfg.savgol_polyorder, win - 1)
+                smoothed = savgol_smooth(curve, win, poly)
+            else:
+                smoothed = curve.astype(np.float64)
+            smooth_gains[t] = list(map(float, smoothed))
+
+            track = np.asarray(loaded_tracks[t], dtype=np.float32)
+            tgt_len = track.shape[-1]
+            mask = interpolate_mask_np(smoothed, tgt_len).astype(np.float32)
+            mixed_tracks[t] = track * mask
+
+        return mixed_tracks, raw_gains, smooth_gains
+
+    def mix_song(self, loaded_tracks: Dict[str, np.ndarray]) -> np.ndarray:
+        """Full pipeline to a single mixed waveform: smooth-mix, sum stems,
+        peak-normalise (the catalogue driver's epilogue, reference
+        inference.ipynb cell 9)."""
+        mixed_tracks, _, _ = self.mix_song_smooth(loaded_tracks)
+        total = sum(np.asarray(v, dtype=np.float32) for v in mixed_tracks.values())
+        peak = np.max(np.abs(total))
+        if peak > 0:
+            total = total / peak
+        return total
+
+
+def mix_song_smooth(dataset, model, loaded_tracks, chunk_length=1, sr=44100, *,
+                    variables=None, hop_length=512):
+    """Drop-in signature shim for the reference free function
+    (inference_utils.py:105).  Prefer :class:`SongMixer` — it compiles once
+    and batches all chunks."""
+    from tpumix.config import ModelConfig
+
+    cfg = ModelConfig(name="compat", chunk_length_s=chunk_length, hop_length=hop_length)
+    mixer = SongMixer(model, variables, cfg)
+    return mixer.mix_song_smooth(loaded_tracks)
