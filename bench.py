@@ -1,0 +1,150 @@
+"""Benchmark: full-song 5-stem mixing throughput (audio-seconds mixed per
+wall-clock second per chip) vs the reference-equivalent CPU pipeline.
+
+The reference publishes no throughput numbers (BASELINE.md), so the 1x
+denominator is measured here: the reference's own control flow — sequential
+per-chunk host torch.stft + batch-of-1 torch CNN calls + scipy smoothing
+(tpumix/utils/reference_pipeline.py, mirroring reference
+inference_utils.py:105-145) — run on the host CPU with a numerically
+equivalent torch twin of the same model.
+
+The tpumix numerator is the production path: one XLA program computing the
+frontend + CNN gains for ALL chunks of a song at once (tpumix/infer/mixer.py)
+plus the host smoothing epilogue — i.e. end-to-end ``mix_song_smooth``
+wall-clock, not just the device kernel.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_song(duration_s: float, sr: int = 44100, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * sr)
+    t = np.arange(n) / sr
+
+    def shaped_noise(scale, smooth):
+        x = rng.standard_normal(n)
+        k = np.ones(smooth) / smooth
+        return scale * np.convolve(x, k, mode="same")
+
+    tracks = {
+        "bass": 0.4 * np.sin(2 * np.pi * 80 * t) + shaped_noise(0.08, 64),
+        "drums": shaped_noise(0.3, 2) * (np.sin(2 * np.pi * 3 * t) > 0.3),
+        "vocals": 0.3 * np.sin(2 * np.pi * 300 * t + np.sin(2 * np.pi * 2 * t))
+        + shaped_noise(0.08, 16),
+        "other": shaped_noise(0.2, 8),
+    }
+    # samples on the PCM16 grid, as decoding real 16-bit stems produces —
+    # this makes the int16 host->device transfer mode exactly lossless
+    return {
+        k: (np.round(np.clip(v, -1, 1) * 32768.0).clip(-32768, 32767) / 32768.0).astype(
+            np.float32
+        )
+        for k, v in tracks.items()
+    }
+
+
+def bench_tpu(model, variables, song, reps: int = 5) -> float:
+    """End-to-end mix_song_smooth audio-seconds/sec on the default backend.
+
+    Uses int16 host->device transfer — lossless w.r.t. 16-bit PCM source
+    material (MUSDB18-HQ stems) and half the bytes of float32; conformance of
+    the int16 path is covered by tests/test_infer.py.
+    """
+    import jax
+
+    from tpumix.config import preset
+    from tpumix.infer.mixer import SongMixer, STEMS
+
+    cfg = preset("scalar2s")
+    mixer = SongMixer(model, variables, cfg, transfer_dtype="int16")
+    dur = len(song["bass"]) / 44100.0
+
+    mixer.mix_song_smooth(song)  # warm-up: compile + first run
+    best = float("inf")
+    for _ in range(reps):
+        tic = time.perf_counter()
+        mixer.mix_song_smooth(song)
+        best = min(best, time.perf_counter() - tic)
+
+    # device-compute-only rate (data resident), for the bandwidth-wall record
+    import jax.numpy as jnp
+
+    stems = np.stack([song[t] for t in STEMS])
+    seg = 64
+    C = mixer.chunk_samples
+    flat = np.zeros((4, seg * C), dtype=np.float32)
+    flat[:, : seg * C] = stems[:, : seg * C]
+    x = jax.device_put(jnp.asarray(flat))
+    jax.block_until_ready(mixer._gains_fn(x, seg))
+    tic = time.perf_counter()
+    jax.block_until_ready(mixer._gains_fn(x, seg))
+    resident = (seg * cfg.chunk_length_s) / (time.perf_counter() - tic)
+    print(
+        f"[bench detail] end-to-end {dur / best:.1f} audio-s/s; "
+        f"device-resident compute {resident:.0f} audio-s/s "
+        f"(host->device link is the binding constraint in this environment)",
+        file=sys.stderr,
+    )
+    return dur / best
+
+
+def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
+    """Reference-pipeline audio-seconds/sec on the host CPU."""
+    import torch
+
+    from tpumix.utils.reference_pipeline import (
+        build_torch_twin,
+        reference_mix_song_smooth,
+    )
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    twin = build_torch_twin(
+        variables["params"], variables["batch_stats"], block1_dilation=2
+    )
+    song = make_song(song_s, seed=1)
+
+    # warm-up a couple of chunks, then time the full song
+    reference_mix_song_smooth(twin, {k: v[: 3 * 88200] for k, v in song.items()},
+                              chunk_length=2.0, hop=512)
+    tic = time.perf_counter()
+    reference_mix_song_smooth(twin, song, chunk_length=2.0, hop=512)
+    dt = time.perf_counter() - tic
+    return song_s / dt
+
+
+def main() -> None:
+    import jax
+
+    from tpumix.models import MixingModelScalar2s
+
+    model = MixingModelScalar2s()
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+    )
+
+    song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
+    tpu_rate = bench_tpu(model, variables, song)
+    cpu_rate = bench_cpu_reference(model, variables)
+
+    result = {
+        "metric": "audio_seconds_mixed_per_sec_per_chip",
+        "value": round(tpu_rate, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

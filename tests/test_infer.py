@@ -138,6 +138,33 @@ class TestBatchedVsSequential:
         assert abs(np.max(np.abs(out)) - 1.0) < 1e-5
 
 
+class TestTransferModes:
+    def test_int16_transfer_exact_for_pcm16_sources(self, model_and_vars, song):
+        """For 16-bit PCM source material (MUSDB18-HQ stems), int16 transfer
+        is EXACTLY lossless: quantise-to-grid happens at decode anyway, so the
+        int16 and float32 paths see identical samples."""
+        model, variables = model_and_vars
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        stems = np.stack([song[t] for t in STEMS])
+        # samples as a PCM16 WAV read would produce them
+        stems = np.round(np.clip(stems, -1, 1) * 32768.0).clip(-32768, 32767) / 32768.0
+        stems = stems.astype(np.float32)
+        g32 = SongMixer(model, variables, cfg).song_gains(stems)
+        g16 = SongMixer(model, variables, cfg, transfer_dtype="int16").song_gains(stems)
+        np.testing.assert_allclose(g32, g16, atol=1e-6)
+
+    def test_segmented_path_matches_single(self, model_and_vars, song):
+        """Songs longer than one segment produce identical gains."""
+        from tpumix.config import MixConfig
+
+        model, variables = model_and_vars
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        stems = np.stack([song[t] for t in STEMS])
+        big = SongMixer(model, variables, cfg, mix_cfg=MixConfig(chunk_length_s=1.0, max_chunks=64))
+        small = SongMixer(model, variables, cfg, mix_cfg=MixConfig(chunk_length_s=1.0, max_chunks=4))
+        np.testing.assert_allclose(big.song_gains(stems), small.song_gains(stems), atol=1e-5)
+
+
 class TestShardedMixing:
     def test_chunk_axis_sharded_gains_match(self, model_and_vars, song):
         from tpumix.parallel.mesh import make_mesh

@@ -9,6 +9,30 @@ checkpointing, and a first-principles BS.1770 loudness evaluation stack.
 
 __version__ = "0.1.0"
 
+
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache unless already configured.
+    First XLA compiles through the remote-compile tunnel take minutes; the
+    cache turns warm starts into sub-second loads."""
+    import os
+
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.environ.get(
+                "TPUMIX_COMPILE_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache", "jax_comp"),
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimisation only
+        pass
+
+
+_setup_compilation_cache()
+
 from tpumix.config import (  # noqa: F401
     DataConfig,
     FrontendConfig,

@@ -131,7 +131,9 @@ class MixConfig:
     # Savitzky-Golay window = num_chunks // 4, forced odd
     # (inference_utils.py:137-139); set explicitly to override.
     savgol_window: Optional[int] = None
-    max_chunks: int = 512  # static padded chunk-axis size for one compiled program
+    # chunks per compiled device call: one fixed-shape program serves any song
+    # length (segments dispatch asynchronously and pipeline with transfers)
+    max_chunks: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

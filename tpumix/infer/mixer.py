@@ -47,13 +47,7 @@ from tpumix.ops.stft import spectrogram_features
 STEMS: Tuple[str, ...] = ("bass", "drums", "vocals", "other")
 
 
-def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
-    """Static padded chunk count: limits distinct compiled program shapes to
-    len(buckets) across a whole catalogue of song lengths."""
-    for b in buckets:
-        if n <= b:
-            return b
-    return ((n + 1023) // 1024) * 1024
+SEGMENT_CHUNKS = 64  # chunks per compiled device call (one program, any song)
 
 
 class SongMixer:
@@ -67,7 +61,12 @@ class SongMixer:
         mix_cfg: Optional[MixConfig] = None,
         mesh=None,
         chunk_axis: Optional[str] = None,
+        transfer_dtype: str = "float32",
     ):
+        """``transfer_dtype="int16"`` ships waveforms to the device as 16-bit
+        PCM (half the host->device bytes; lossless w.r.t. 16-bit source
+        material — MUSDB18-HQ stems are PCM16) with dequantisation fused into
+        the device program."""
         self.model = model
         self.variables = variables
         self.model_cfg = model_cfg
@@ -76,17 +75,26 @@ class SongMixer:
         self.chunk_samples = self.frontend.chunk_samples(model_cfg.chunk_length_s)
         self.mesh = mesh
         self.chunk_axis = chunk_axis
+        self.transfer_dtype = transfer_dtype
 
-        @functools.partial(jax.jit, static_argnames=())
-        def gains_fn(chunk_wavs: jax.Array) -> jax.Array:
-            """[N, num_stems, C] waveform chunks -> [N, num_stems] gains."""
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def gains_fn(stems_flat: jax.Array, n_chunks: int) -> jax.Array:
+            """[num_stems, n_chunks*C] (possibly int16) -> [n_chunks, num_stems]
+            gains.  Chunking/transposition happens ON DEVICE so the host
+            transfer is one contiguous 2-D buffer (fast-path layout)."""
+            num_stems = stems_flat.shape[0]
+            x = stems_flat
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) * (1.0 / 32768.0)
+            x = x.reshape(num_stems, n_chunks, self.chunk_samples)
+            x = jnp.transpose(x, (1, 0, 2))  # [N, S, C]
             if self.mesh is not None and self.chunk_axis is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                chunk_wavs = jax.lax.with_sharding_constraint(
-                    chunk_wavs, NamedSharding(self.mesh, P(self.chunk_axis, None, None))
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, P(self.chunk_axis, None, None))
                 )
-            feats = spectrogram_features(chunk_wavs, self.frontend)  # [N, 4, F, T]
+            feats = spectrogram_features(x, self.frontend)  # [N, S, F, T]
             _, gains = self.model.apply(self.variables, feats, train=False)
             return gains
 
@@ -109,22 +117,26 @@ class SongMixer:
         if n_gains <= 0:
             return np.zeros((0, num_stems), dtype=np.float32)
 
-        usable = stems[:, : n_gains * C]
-        chunks = usable.reshape(num_stems, n_gains, C).transpose(1, 0, 2)  # [N,4,C]
-
-        padded_n = _bucket(n_gains)
+        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
         if self.mesh is not None and self.chunk_axis is not None:
             # keep the sharded chunk axis divisible by the mesh axis
             axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
-            padded_n = -(-padded_n // axis) * axis
-        pad = padded_n - n_gains
-        if pad:
-            chunks = np.concatenate(
-                [chunks, np.zeros((pad, num_stems, C), dtype=chunks.dtype)], axis=0
-            )
+            seg = -(-seg // axis) * axis
 
-        gains = np.asarray(self._gains_fn(jnp.asarray(chunks, dtype=jnp.float32)))
-        return gains[:n_gains]
+        # one fixed-shape compiled program looped over song segments; calls
+        # dispatch asynchronously so transfer of segment k+1 overlaps the
+        # device compute of segment k
+        futures = []
+        for lo in range(0, n_gains, seg):
+            n = min(seg, n_gains - lo)
+            flat = np.zeros((num_stems, seg * C), dtype=np.float32)
+            flat[:, : n * C] = stems[:, lo * C : (lo + n) * C]
+            if self.transfer_dtype == "int16":
+                flat = np.clip(np.round(flat * 32768.0), -32768, 32767).astype(np.int16)
+            futures.append((self._gains_fn(jnp.asarray(flat), seg), n))
+
+        gains = np.concatenate([np.asarray(g)[:n] for g, n in futures], axis=0)
+        return gains
 
     # --- host epilogue -------------------------------------------------------
 

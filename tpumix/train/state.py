@@ -71,9 +71,24 @@ def make_train_step(
     frontend: FrontendConfig,
     tx: optax.GradientTransformation,
     augment: bool = False,
+    mesh=None,
+    dp_axis: Optional[str] = "dp",
+    sp_axis: Optional[str] = None,
 ) -> Callable:
     """Build the fused waveform-in train step:
-    ``(state, stems [B,4,S], mix [B,S], rng) -> (state, metrics)``."""
+    ``(state, stems [B,4,S], mix [B,S], rng) -> (state, metrics)``.
+
+    With ``mesh``: features are annotated ``P(dp, None, None, sp)`` — batch
+    data-parallel plus *sequence parallelism* over the STFT-frame axis; GSPMD
+    inserts the conv halo exchanges and gradient psums implied by the
+    replicated-parameter output."""
+
+    def _constrain(x, spec):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
     def step(state: TrainState, stems: jax.Array, mix: jax.Array, rng: jax.Array):
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -82,6 +97,8 @@ def make_train_step(
 
         feats = spectrogram_features(stems, frontend)  # [B, 4, F, T]
         gt = spectrogram_features(mix, frontend)  # [B, F, T]
+        feats = _constrain(feats, (dp_axis, None, None, sp_axis))
+        gt = _constrain(gt, (dp_axis, None, sp_axis))
 
         def loss_fn(params):
             (masked, gains), mutated = model.apply(
