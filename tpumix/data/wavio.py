@@ -109,6 +109,15 @@ def info(path: str) -> WavInfo:
 
 
 def _decode(raw: bytes, fmt: str, channels: int, dtype: str) -> np.ndarray:
+    if dtype == "int16":
+        # decode-free fast path: raw PCM16 samples (feeds the SongMixer's
+        # int16 device-dequantisation path with zero host float conversion)
+        if fmt != "PCM_16":
+            raise ValueError(f"dtype='int16' requires a PCM_16 file, got {fmt}")
+        x = np.frombuffer(raw, dtype="<i2")
+        if channels > 1:
+            x = x.reshape(-1, channels)
+        return x
     if fmt == "PCM_16":
         x = np.frombuffer(raw, dtype="<i2").astype(dtype) / 32768.0
     elif fmt == "PCM_24":

@@ -125,14 +125,20 @@ class SongMixer:
 
         # one fixed-shape compiled program looped over song segments; calls
         # dispatch asynchronously so transfer of segment k+1 overlaps the
-        # device compute of segment k
+        # device compute of segment k.  int16 input arrays pass through
+        # unconverted (the decode-free PCM16 fast path: wavio.read(dtype=
+        # "int16") -> device dequantisation).
+        int16_in = stems.dtype == np.int16
+        out_dtype = np.int16 if (self.transfer_dtype == "int16" or int16_in) else np.float32
         futures = []
         for lo in range(0, n_gains, seg):
             n = min(seg, n_gains - lo)
-            flat = np.zeros((num_stems, seg * C), dtype=np.float32)
-            flat[:, : n * C] = stems[:, lo * C : (lo + n) * C]
-            if self.transfer_dtype == "int16":
-                flat = np.clip(np.round(flat * 32768.0), -32768, 32767).astype(np.int16)
+            flat = np.zeros((num_stems, seg * C), dtype=out_dtype)
+            src = stems[:, lo * C : (lo + n) * C]
+            if out_dtype == np.int16 and not int16_in:
+                flat[:, : n * C] = np.clip(np.rint(src * 32768.0), -32768, 32767)
+            else:
+                flat[:, : n * C] = src
             futures.append((self._gains_fn(jnp.asarray(flat), seg), n))
 
         gains = np.concatenate([np.asarray(g)[:n] for g, n in futures], axis=0)

@@ -103,13 +103,19 @@ def savgol_smooth_jax(y: jax.Array, window_length: int, polyorder: int = 2) -> j
 def interpolate_mask_np(spec_mask: np.ndarray, tgt_len: int) -> np.ndarray:
     """Reference-exact nearest-neighbour stretch (inference_utils.py:12-41):
     integer ``interp_coef = tgt_len // len``; value ``j`` fills
-    ``[j*coef, (j+1)*coef)`` for ``j < len-1``; the last value fills the rest."""
+    ``[j*coef, (j+1)*coef)`` for ``j < len-1``; the last value fills the rest.
+
+    Implemented as ``repeat`` + tail fill (no 10M-element gather index)."""
     spec_mask = np.asarray(spec_mask)
     n = spec_mask.shape[-1]
     assert n <= tgt_len, "Target mask should be longer than the initial one"
     coef = tgt_len // n
-    j = np.minimum(np.arange(tgt_len) // coef, n - 1)
-    return spec_mask[..., j]
+    body = np.repeat(spec_mask, coef, axis=-1)  # [..., n*coef]
+    tail = tgt_len - n * coef
+    if tail == 0:
+        return body
+    last = np.broadcast_to(spec_mask[..., -1:], spec_mask.shape[:-1] + (tail,))
+    return np.concatenate([body, last], axis=-1)
 
 
 def interpolate_mask(spec_mask: jax.Array, tgt_len: int) -> jax.Array:
