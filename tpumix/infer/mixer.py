@@ -72,6 +72,16 @@ class SongMixer:
         self.model_cfg = model_cfg
         self.mix_cfg = mix_cfg or MixConfig(chunk_length_s=model_cfg.chunk_length_s)
         self.frontend = model_cfg.frontend()
+        # the fused Pallas frontend is the default on TPU (conformance within
+        # 1e-5 dB of the FFT path, tests/test_pallas.py); FFT elsewhere
+        import dataclasses as _dc
+
+        if (
+            self.frontend.implementation == "fft"
+            and jax.default_backend() in ("tpu",)
+            and self.frontend.n_fft % self.frontend.hop_length == 0
+        ):
+            self.frontend = _dc.replace(self.frontend, implementation="pallas")
         self.chunk_samples = self.frontend.chunk_samples(model_cfg.chunk_length_s)
         self.mesh = mesh
         self.chunk_axis = chunk_axis

@@ -145,6 +145,10 @@ def spectrogram_features(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> 
     (reference data/dataset.py:162 returns [freq, frames]).
     """
     cfg = cfg or FrontendConfig()
+    if cfg.implementation == "pallas":
+        from tpumix.ops.stft_pallas import stft_features_pallas_tm
+
+        return jnp.swapaxes(stft_features_pallas_tm(x, cfg), -1, -2)
     mag = stft_magnitude(x, cfg)  # [..., frames, bins]
     db = amplitude_to_db(mag, amin=cfg.amin, multiplier=cfg.db_multiplier)
     return jnp.swapaxes(db, -1, -2)
@@ -178,5 +182,9 @@ def spectrogram_features_tm(x: jax.Array, cfg: Optional[FrontendConfig] = None) 
     internal layout (frames on sublanes, bins on lanes) used by the batched
     mixer; avoids a transpose before NHWC convs."""
     cfg = cfg or FrontendConfig()
+    if cfg.implementation == "pallas":
+        from tpumix.ops.stft_pallas import stft_features_pallas_tm
+
+        return stft_features_pallas_tm(x, cfg)
     mag = stft_magnitude(x, cfg)
     return amplitude_to_db(mag, amin=cfg.amin, multiplier=cfg.db_multiplier)
