@@ -123,8 +123,8 @@ class MultitrackAudioDataset:
     def _read_chunk(self, song: str, track: str, chunk_i: int) -> np.ndarray:
         start = chunk_i * self._chunk_samples
         path = track_path(self._base_path, song, track, self._layout)
-        audio, _ = wavio.read(path, start=start, stop=start + self._chunk_samples, always_2d=True)
-        mono = audio.mean(axis=1).astype(np.float32)  # stereo->mono by channel mean
+        # fused decode + stereo->mono in the native runtime when available
+        mono = wavio.read_mono(path, start=start, count=self._chunk_samples)
         if mono.shape[0] < self._chunk_samples:  # ragged song tail
             mono = np.pad(mono, (0, self._chunk_samples - mono.shape[0]))
         return mono

@@ -108,6 +108,21 @@ def info(path: str) -> WavInfo:
         return _parse_header(f)
 
 
+def read_mono(path: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
+    """Fused decode + stereo->mono downmix (channel mean) — the dataset's hot
+    per-chunk read.  Uses the native runtime (native/tpumixio.cpp) when
+    available; numpy fallback otherwise."""
+    if count is None:
+        count = info(path).frames - start
+    from tpumix.data import _native
+
+    out = _native.read_mono_f32(path, start, count)
+    if out is not None:
+        return out
+    audio, _ = read(path, start=start, stop=start + count, always_2d=True)
+    return audio.mean(axis=1).astype(np.float32)
+
+
 def _decode(raw: bytes, fmt: str, channels: int, dtype: str) -> np.ndarray:
     if dtype == "int16":
         # decode-free fast path: raw PCM16 samples (feeds the SongMixer's

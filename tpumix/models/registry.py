@@ -1,0 +1,33 @@
+"""Model registry: preset name -> constructed Flax module.
+
+``compute_dtype="bfloat16"`` runs the conv trunk in bf16 on the MXU (~4x the
+f32 arithmetic rate on v5e).  Gains deviate from the f32 path by the bf16
+mantissa floor (~0.4 absolute on +/-100 dB feature values entering conv 1) —
+acceptable for throughput-first mixing, NOT for reference-conformance runs
+(the heads always accumulate and emit float32 either way).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpumix.config import ModelConfig
+from tpumix.models.resnet import GainResNet
+from tpumix.models.scalar import MixingModelScalar1s, MixingModelScalar2s
+
+
+def build_model(cfg: ModelConfig):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    builders = {
+        "scalar1s": lambda: MixingModelScalar1s(dtype=dtype),
+        "scalar2s": lambda: MixingModelScalar2s(dtype=dtype),
+        "resnet18": lambda: GainResNet(dtype=dtype),
+    }
+    if cfg.name not in builders:
+        raise ValueError(f"unknown model {cfg.name!r}; have {sorted(builders)}")
+    return builders[cfg.name]()
+
+
+def example_feature_shape(cfg: ModelConfig, batch: int = 1):
+    fe = cfg.frontend()
+    return (batch, cfg.num_stems, fe.num_bins, cfg.num_frames)
