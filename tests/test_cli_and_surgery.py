@@ -1,0 +1,147 @@
+"""CLI workflows and the MedleyDB data-surgery tool."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpumix.cli import main
+from tpumix.data import wavio
+from tpumix.data.surgery import (
+    CATEGORIES,
+    classify_instrument,
+    group_stem_ids,
+    process_song,
+    write_naive_sum,
+)
+
+from test_data import make_song
+
+SR = 44100
+
+
+@pytest.fixture()
+def raw_medleydb_song(tmp_path):
+    """Raw MedleyDB layout: METADATA.yaml + per-instrument stems + mix."""
+    import yaml
+
+    name = "FakeBand_FakeSong"
+    song = tmp_path / name
+    stems_dir = song / f"{name}_STEMS"
+    stems_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n = SR  # 1 s
+    instruments = {
+        "S01": ("electric bass", "bass"),
+        "S02": ("drum set", ""),
+        "S03": ("male singer", ""),
+        "S04": ("clean electric guitar", ""),
+        "S05": ("tambourine", ""),
+    }
+    stems_audio = {}
+    for sid in instruments:
+        audio = 0.1 * rng.standard_normal(n).astype(np.float32)
+        stems_audio[sid] = audio
+        wavio.write(str(stems_dir / f"{name}_STEM_{sid[1:]}.wav"), audio, SR)
+    mix = sum(stems_audio.values())
+    wavio.write(str(song / f"{name}_MIX.wav"), mix, SR)
+    meta = {
+        "origin": "Independent Artist",
+        "stems": {
+            sid: {"instrument": inst, "component": comp}
+            for sid, (inst, comp) in instruments.items()
+        },
+    }
+    with open(song / f"{name}_METADATA.yaml", "w") as f:
+        yaml.safe_dump(meta, f)
+    return str(song), stems_audio
+
+
+class TestSurgery:
+    def test_classify(self):
+        assert classify_instrument("drum set") == "drums"
+        assert classify_instrument("electric bass") == "bass"
+        assert classify_instrument("piano", component="bass") == "bass"
+        assert classify_instrument("female singer") == "vocals"
+        assert classify_instrument("clean electric guitar") == "other"
+
+    def test_group_stem_ids(self, raw_medleydb_song):
+        song_path, _ = raw_medleydb_song
+        groups = group_stem_ids(song_path)
+        assert groups["bass"] == ["01"]
+        assert sorted(groups["drums"]) == ["02", "05"]
+        assert groups["vocals"] == ["03"]
+        assert groups["other"] == ["04"]
+
+    def test_process_song_sums_stems(self, raw_medleydb_song):
+        song_path, stems_audio = raw_medleydb_song
+        process_song(song_path)
+        name = os.path.basename(song_path)
+        joined = os.path.join(song_path, f"{name}_STEMS_JOINED")
+        drums, _ = wavio.read(os.path.join(joined, f"{name}_STEM_DRUMS.wav"))
+        expected = stems_audio["S02"] + stems_audio["S05"]
+        np.testing.assert_allclose(drums, expected, atol=1e-6)
+        # every category exists
+        for cat in CATEGORIES:
+            assert os.path.exists(os.path.join(joined, f"{name}_STEM_{cat.upper()}.wav"))
+
+    def test_naive_sum(self, raw_medleydb_song):
+        song_path, stems_audio = raw_medleydb_song
+        process_song(song_path)
+        out = write_naive_sum(song_path)
+        total, _ = wavio.read(out)
+        expected = sum(stems_audio.values())
+        np.testing.assert_allclose(total, expected, atol=1e-5)
+
+
+class TestCLI:
+    def test_help_all_subcommands(self, capsys):
+        for cmd in ["train", "mix", "evaluate", "mean-loudness", "precompute",
+                    "surgery", "listening-prep", "listening-parse", "bench"]:
+            with pytest.raises(SystemExit) as e:
+                main([cmd, "--help"])
+            assert e.value.code == 0
+
+    def test_mean_loudness_command(self, tmp_path):
+        base = str(tmp_path / "data")
+        os.makedirs(base)
+        make_song(base, "S1", 2.0, seed=1)
+        out = str(tmp_path / "ml.json")
+        rc = main(["mean-loudness", "--data", base, "--out", out])
+        assert rc == 0
+        ml = json.load(open(out))
+        assert set(ml) == {"bass", "drums", "vocals", "other", "mix"}
+
+    def test_mix_command(self, tmp_path):
+        base = str(tmp_path / "data")
+        os.makedirs(base)
+        make_song(base, "S1", 4.0, seed=2)
+        out = str(tmp_path / "mixed")
+        rc = main([
+            "mix", "--data", base, "--song", "S1", "--model", "scalar1s",
+            "--out", out, "--naive-sum",
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "S1_mixed.wav"))
+        assert os.path.exists(os.path.join(out, "S1_sum.wav"))
+        y, sr = wavio.read(os.path.join(out, "S1_mixed.wav"))
+        assert sr == SR and y.shape[0] == 4 * SR
+
+    def test_surgery_command(self, raw_medleydb_song, tmp_path):
+        song_path, _ = raw_medleydb_song
+        root = os.path.dirname(song_path)
+        rc = main(["surgery", "--data", root])
+        assert rc == 0
+
+    def test_listening_parse_command(self, tmp_path):
+        payload = {"pages": [{"id": "X", "elements": [
+            {"id": "X_mix", "axis": [{"values": [70, 80]}]},
+            {"id": "X_sum", "axis": [{"values": [30, 40]}]},
+        ]}]}
+        scores = str(tmp_path / "s.json")
+        json.dump(payload, open(scores, "w"))
+        out = str(tmp_path / "figs" / "g.png")
+        rc = main(["listening-parse", "--scores", scores, "--out", out])
+        assert rc == 0
+        assert os.path.exists(out)

@@ -1,0 +1,309 @@
+"""tpumix command-line interface.
+
+The reference has no CLI — entry points are ``__main__`` blocks with
+hard-coded workstation paths and notebook cells (SURVEY.md §1, §5.6).  All of
+those workflows are commands here:
+
+    python -m tpumix train          train a gain model
+    python -m tpumix mix            mix one song (or a catalogue) with a checkpoint
+    python -m tpumix evaluate       LoudnessEvaluator sweep -> stats.xlsx/csv
+    python -m tpumix mean-loudness  per-class mean LUFS scan -> json
+    python -m tpumix precompute     feature cache for a songlist
+    python -m tpumix surgery        MedleyDB raw-stem -> category-stem grouping
+    python -m tpumix listening-prep export MUSHRA listening-test wavs
+    python -m tpumix listening-parse parse webMUSHRA scores -> boxplot
+    python -m tpumix bench          throughput benchmark (one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _songlist(args) -> list:
+    from tpumix.data import songlists
+
+    if args.songlist and os.path.isfile(args.songlist):
+        with open(args.songlist) as f:
+            return [line.strip() for line in f if line.strip()]
+    if args.songlist:
+        return songlists.get_songlist(args.songlist)
+    return []
+
+
+def _load_mixer(args):
+    import jax
+    import numpy as np
+
+    from tpumix.config import preset
+    from tpumix.infer.mixer import SongMixer
+    from tpumix.models.registry import build_model, example_feature_shape
+
+    cfg = preset(args.model)
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.key(0), np.zeros(example_feature_shape(cfg), np.float32), train=False
+    )
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        target = dict(params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}))
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.checkpoint),
+            dict(params=target["params"], batch_stats=target["batch_stats"],
+                 opt_state=None, step=None),
+        )
+        variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    return SongMixer(model, variables, cfg, transfer_dtype=args.transfer_dtype)
+
+
+def cmd_train(args) -> int:
+    from tpumix.config import TrainConfig, preset
+    from tpumix.data.dataset import MultitrackAudioDataset
+    from tpumix.data.loaders import split_songlist
+    from tpumix.data.prefetch import BatchIterator
+    from tpumix.models.registry import build_model, example_feature_shape
+    from tpumix.parallel.mesh import make_mesh
+    from tpumix.train.trainer import Trainer
+
+    model_cfg = preset(args.model)
+    songs = _songlist(args) or None
+    train_songs, val_songs, _ = (
+        split_songlist(songs, (1 - args.val_fraction, args.val_fraction, 0.0), seed=args.seed)
+        if songs
+        else (None, None, None)
+    )
+
+    def make_ds(sl):
+        return MultitrackAudioDataset(
+            args.data, songlist=sl, chunk_length=model_cfg.chunk_length_s,
+            seed=args.seed, layout=args.layout, hop_length=model_cfg.hop_length,
+            augment_data=args.augment,
+        )
+
+    d_train = make_ds(train_songs)
+    d_val = make_ds(val_songs) if val_songs else d_train
+
+    cfg = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
+        checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=False,
+        early_stopping_patience=args.patience,
+        keep_checkpoints=args.keep_checkpoints,
+    )
+    mesh = None
+    if args.mesh:
+        import jax
+
+        n = int(args.mesh)
+        mesh = make_mesh((n,), ("dp",), devices=jax.devices()[:n])
+
+    model = build_model(model_cfg)
+    trainer = Trainer(
+        model, model_cfg.frontend(), cfg, example_feature_shape(model_cfg),
+        mesh=mesh, run_name=args.run_name,
+    )
+    train_loader = BatchIterator(d_train, args.batch_size, seed=args.seed)
+    val_loader = BatchIterator(d_val, args.batch_size, shuffle=False, seed=args.seed)
+    result = trainer.fit(train_loader, val_loader, 0, args.epochs)
+    print(json.dumps({
+        "best_epoch": result.best_epoch, "best_val_loss": result.best_val_loss,
+        "stopped_early": result.stopped_early, "checkpoint_dir": trainer.ckpt_dir,
+    }))
+    return 0
+
+
+def cmd_mix(args) -> int:
+    import numpy as np
+
+    from tpumix.data import wavio
+    from tpumix.data.loaders import load_tracks, load_tracks_musdb18
+
+    mixer = _load_mixer(args)
+    loader = load_tracks_musdb18 if args.layout == "musdb18" else load_tracks
+    os.makedirs(args.out, exist_ok=True)
+    songs = _songlist(args) or [args.song]
+    for song in songs:
+        tracks = loader(args.data, song, tracklist=("bass", "drums", "vocals", "other"))
+        mixed = mixer.mix_song(tracks)
+        out_path = os.path.join(args.out, f"{song}_mixed.wav")
+        wavio.write(out_path, np.asarray(mixed).T, 44100)
+        if args.naive_sum:
+            total = sum(np.asarray(v) for v in tracks.values())
+            peak = np.max(np.abs(total)) or 1.0
+            wavio.write(os.path.join(args.out, f"{song}_sum.wav"), (total / peak).T, 44100)
+        print(f"[mix] {out_path}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from tpumix.eval.evaluator import LoudnessEvaluator
+
+    mixer = _load_mixer(args)
+    with open(args.mean_loudness) as f:
+        mean_loudness = json.load(f)
+    ev = LoudnessEvaluator(mixer, mean_loudness, seed=args.seed, results_dir=args.out)
+    songs = _songlist(args)
+    ev.process_songlist(args.data, songs, write_to_disk=args.export_wavs,
+                        out_path=os.path.join(args.out, "stats.xlsx"))
+    return 0
+
+
+def cmd_mean_loudness(args) -> int:
+    from tpumix.data.dataset import MultitrackAudioDataset
+
+    d = MultitrackAudioDataset(args.data, songlist=_songlist(args) or None,
+                               layout=args.layout)
+    ml = d.compute_mean_loudness()
+    with open(args.out, "w") as f:
+        json.dump(ml, f, indent=2)
+    print(json.dumps(ml))
+    return 0
+
+
+def cmd_precompute(args) -> int:
+    from tpumix.config import preset
+    from tpumix.data.dataset import MultitrackAudioDataset
+
+    model_cfg = preset(args.model)
+    d = MultitrackAudioDataset(
+        args.data, songlist=_songlist(args) or None,
+        chunk_length=model_cfg.chunk_length_s, hop_length=model_cfg.hop_length,
+        layout=args.layout, return_features=True, cache_dir=args.cache_dir,
+    )
+    d.precompute_features()
+    print(f"[precompute] cache at {args.cache_dir}")
+    return 0
+
+
+def cmd_surgery(args) -> int:
+    from tpumix.data.surgery import process_root
+
+    done = process_root(args.data, naive_sums=args.naive_sums)
+    print(f"[surgery] processed {len(done)} songs")
+    return 0
+
+
+def cmd_listening_prep(args) -> int:
+    import numpy as np
+
+    from tpumix.eval import listening
+    from tpumix.models.baselines import MeanLoudnessModel, RandomModel
+
+    mixer = _load_mixer(args)
+    with open(args.mean_loudness) as f:
+        mean_loudness = json.load(f)
+    models = {
+        "random": RandomModel(rng=np.random.default_rng(args.seed)),
+        "loudnorm": MeanLoudnessModel(mean_loudness),
+        "mix": mixer,
+    }
+    listening.process_songlist(args.data, _songlist(args), models, save_dir=args.out)
+    return 0
+
+
+def cmd_listening_parse(args) -> int:
+    from tpumix.eval import listening
+
+    by_model, _ = listening.parse_json(args.scores)
+    g = listening.global_scores(by_model)
+    keys = sorted(g)
+    listening.produce_boxplot([g[k] for k in keys], keys, args.out)
+    print(f"[listening] boxplot at {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpumix", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, checkpoint=True):
+        sp.add_argument("--data", required=True, help="dataset root directory")
+        sp.add_argument("--layout", default="medleydb", choices=["medleydb", "musdb18"])
+        sp.add_argument("--songlist", default="",
+                        help="registry key (tpumix.data.songlists) or a text file")
+        sp.add_argument("--model", default="scalar2s",
+                        choices=["scalar1s", "scalar2s", "resnet18"])
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16"])
+        if checkpoint:
+            sp.add_argument("--checkpoint", default="", help="Orbax checkpoint dir")
+
+    sp = sub.add_parser("train", help="train a gain model")
+    common(sp, checkpoint=False)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--batch-size", type=int, default=48)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--val-fraction", type=float, default=0.2)
+    sp.add_argument("--patience", type=int, default=10)
+    sp.add_argument("--keep-checkpoints", type=int, default=None)
+    sp.add_argument("--checkpoint-dir", default="./checkpoints")
+    sp.add_argument("--run-name", default=None)
+    sp.add_argument("--augment", action="store_true")
+    sp.add_argument("--mesh", default="", help="data-parallel device count")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("mix", help="mix songs with a trained model")
+    common(sp)
+    sp.add_argument("--song", default="", help="single song name")
+    sp.add_argument("--out", default="./mixed")
+    sp.add_argument("--naive-sum", action="store_true", help="also export raw stem sums")
+    sp.set_defaults(fn=cmd_mix)
+
+    sp = sub.add_parser("evaluate", help="loudness evaluation sweep")
+    common(sp)
+    sp.add_argument("--mean-loudness", required=True, help="json from mean-loudness")
+    sp.add_argument("--out", default="./experiment")
+    sp.add_argument("--export-wavs", action="store_true")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("mean-loudness", help="per-class mean LUFS scan")
+    common(sp, checkpoint=False)
+    sp.add_argument("--out", default="./mean_loudness.json")
+    sp.set_defaults(fn=cmd_mean_loudness)
+
+    sp = sub.add_parser("precompute", help="write the feature cache")
+    common(sp, checkpoint=False)
+    sp.add_argument("--cache-dir", required=True)
+    sp.set_defaults(fn=cmd_precompute)
+
+    sp = sub.add_parser("surgery", help="MedleyDB stem grouping")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--naive-sums", action="store_true")
+    sp.set_defaults(fn=cmd_surgery)
+
+    sp = sub.add_parser("listening-prep", help="export listening-test wavs")
+    common(sp)
+    sp.add_argument("--mean-loudness", required=True)
+    sp.add_argument("--out", default="./test_data")
+    sp.set_defaults(fn=cmd_listening_prep)
+
+    sp = sub.add_parser("listening-parse", help="parse webMUSHRA scores json")
+    sp.add_argument("--scores", required=True)
+    sp.add_argument("--out", default="./test_figures/global.png")
+    sp.set_defaults(fn=cmd_listening_parse)
+
+    sp = sub.add_parser("bench", help="throughput benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Tracing / profiling utilities.
+
+The reference has no profiling at all — just ``time.time()`` prints
+(reference data/dataset.py:287-289, model_trainer.py:39-41; SURVEY.md §5.1).
+tpumix provides:
+
+* ``annotate`` — named jax.profiler trace annotations (visible in
+  TensorBoard/XProf timelines);
+* ``trace_to`` — capture a device trace for a code region;
+* ``Stopwatch`` — blocking wall-clock sections (block_until_ready-aware);
+* ``measure_throughput`` — the audio-seconds/sec/chip harness used by
+  bench.py-style measurements (warm-up, best-of-N, dispatch-chain timing so
+  async dispatch cannot fake results).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named region in the device profiler timeline."""
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@contextlib.contextmanager
+def trace_to(log_dir: str):
+    """Capture a jax.profiler device trace for the enclosed region."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Stopwatch:
+    """Accumulates named wall-clock sections; blocks on device results."""
+
+    def __init__(self):
+        self.sections: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def section(self, name: str, block_on=None):
+        tic = time.perf_counter()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                jax.block_until_ready(block_on)
+            self.sections[name] = self.sections.get(name, 0.0) + time.perf_counter() - tic
+
+    def report(self) -> str:
+        total = sum(self.sections.values())
+        lines = [f"{k}: {v:.3f}s ({100 * v / max(total, 1e-9):.0f}%)" for k, v in self.sections.items()]
+        return "\n".join(lines)
+
+
+def measure_throughput(
+    fn: Callable,
+    args: tuple,
+    audio_seconds: float,
+    reps: int = 5,
+    warmup: int = 1,
+) -> Dict[str, float]:
+    """Best-of-``reps`` audio-seconds/sec for ``fn(*args)``.
+
+    Each rep runs the function and blocks on its result, so async dispatch is
+    fully accounted.  Returns ``{"seconds": best, "audio_s_per_s": rate}``.
+    """
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        tic = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - tic)
+    return {"seconds": best, "audio_s_per_s": audio_seconds / best}
