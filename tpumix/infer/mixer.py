@@ -199,6 +199,34 @@ class SongMixer:
 
         return mixed_tracks, raw_gains, smooth_gains
 
+    def mix_song_raw(
+        self, loaded_tracks: Dict[str, np.ndarray]
+    ) -> Tuple[np.ndarray, Dict[str, list]]:
+        """Legacy raw-gain mixing (reference ``mix_song``,
+        inference_utils.py:44-102 — chunk-piecewise UNsmoothed gains; the
+        reference's own copy is stale/crashing, SURVEY.md §2.6): returns
+        ``(mixed_song [S], mask_history)`` where chunk ``i`` of the output is
+        the gain-weighted stem sum with that chunk's raw gains.  Chunk 0 is
+        left silent exactly like the reference loop (starts at chunk 1)."""
+
+        def mono(x):
+            x = np.asarray(x, dtype=np.float32)
+            return x.mean(axis=0) if x.ndim == 2 else x
+
+        stem_mono = np.stack([mono(loaded_tracks[t]) for t in STEMS])
+        gains = self.song_gains(stem_mono)  # [n_gains, 4] dB-domain scalars
+        amp = (10.0 ** (0.5 * gains)).astype(np.float32)
+
+        C = self.chunk_samples
+        S = stem_mono.shape[1]
+        mixed = np.zeros(S, dtype=np.float32)
+        n = amp.shape[0]
+        # chunk i in [1, num_chunks): gains from window (i-1) applied to it
+        region = stem_mono[:, C : (n + 1) * C].reshape(len(STEMS), n, C)
+        mixed[C : (n + 1) * C] = np.einsum("snc,ns->nc", region, amp).reshape(-1)
+        mask_history = {t: list(map(float, amp[:, i])) for i, t in enumerate(STEMS)}
+        return mixed, mask_history
+
     def mix_song(self, loaded_tracks: Dict[str, np.ndarray]) -> np.ndarray:
         """Full pipeline to a single mixed waveform: smooth-mix, sum stems,
         peak-normalise (the catalogue driver's epilogue, reference

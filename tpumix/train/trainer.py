@@ -208,4 +208,28 @@ class Trainer:
                         stopped = True
                         break
 
+        self.plot_loss_curves(train_hist, val_hist)
         return TrainResult(train_hist, val_hist, best_epoch, best_val, stopped)
+
+    def plot_loss_curves(self, train_hist: List[float], val_hist: List[float]) -> Optional[str]:
+        """Loss-curve PNG in the run dir (parity: reference
+        training_ignite.ipynb cell 16 / training.ipynb cell 17)."""
+        if not train_hist:
+            return None
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # matplotlib optional
+            return None
+        fig = plt.figure(figsize=(7, 4))
+        plt.plot(train_hist, label="train")
+        plt.plot(val_hist, label="val")
+        plt.xlabel("epoch")
+        plt.ylabel("MSE loss")
+        plt.legend()
+        path = os.path.join(self.ckpt_dir, "loss_curves.png")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path
