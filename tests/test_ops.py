@@ -193,3 +193,46 @@ class TestLoudness:
 
     def test_silence_is_minus_inf(self):
         assert integrated_loudness(np.zeros(44100), 44100) == -np.inf
+
+
+class TestLoudnessJax:
+    def test_matches_host_meter(self):
+        import jax.numpy as jnp
+
+        from tpumix.ops.loudness import integrated_loudness, integrated_loudness_jax
+
+        fs = 44100
+        rng = np.random.default_rng(11)
+        x = (0.1 * rng.standard_normal((2, fs * 3))).astype(np.float32)
+        host = integrated_loudness(x.T, fs)  # host API: [samples, ch]
+        dev = float(integrated_loudness_jax(jnp.asarray(x), fs))  # [ch, samples]
+        assert abs(host - dev) < 0.02
+
+    def test_batched_vmap(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tpumix.ops.loudness import integrated_loudness, integrated_loudness_jax
+
+        fs = 44100
+        rng = np.random.default_rng(12)
+        batch = (0.2 * rng.standard_normal((3, 1, fs * 2))).astype(np.float32)
+        dev = np.asarray(jax.vmap(lambda a: integrated_loudness_jax(a, fs))(jnp.asarray(batch)))
+        for i in range(3):
+            host = integrated_loudness(batch[i, 0], fs)
+            assert abs(host - dev[i]) < 0.02
+
+    def test_gating_matters(self):
+        # a loud burst in long near-silence: the gate must ignore the quiet
+        # blocks so the result tracks the burst loudness
+        import jax.numpy as jnp
+
+        from tpumix.ops.loudness import integrated_loudness, integrated_loudness_jax
+
+        fs = 44100
+        t = np.arange(fs * 4) / fs
+        x = np.where(t < 1.0, 0.5 * np.sin(2 * np.pi * 997 * t), 1e-5 * np.sin(2 * np.pi * 997 * t))
+        host = integrated_loudness(x, fs)
+        dev = float(integrated_loudness_jax(jnp.asarray(x.astype(np.float32)), fs))
+        assert abs(host - dev) < 0.05
+        assert dev > -15  # near the burst loudness, not the average

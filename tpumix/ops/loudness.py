@@ -145,6 +145,61 @@ class Meter:
         return integrated_loudness(audio, self.rate)
 
 
+def integrated_loudness_jax(audio, fs: float):
+    """Gated integrated loudness (LUFS) fully on device, batched.
+
+    :param audio: ``[..., channels, samples]`` (or ``[..., samples]`` mono).
+    :return: ``[...]`` LUFS values (-inf encoded as a large negative number,
+        static shapes — jit/vmap-friendly).
+
+    Same algorithm as :func:`integrated_loudness`; the sequential K-weighting
+    IIR runs as a single FFT convolution (tpumix/ops/iir.py), the 75 %-overlap
+    block energies come from a cumulative sum, and both gates are masked means
+    — no data-dependent shapes, so whole catalogues of songs batch under vmap.
+    """
+    import jax.numpy as jnp
+
+    from tpumix.ops.iir import biquad_cascade_jax
+
+    x = jnp.asarray(audio, dtype=jnp.float32)
+    if x.ndim == 1:
+        x = x[None, :]  # mono convenience: [S] -> [1, S]
+    if x.shape[-2] > 5:
+        raise ValueError("expected [..., channels<=5, samples]")
+
+    sections = list(k_weighting_coeffs(fs))
+    y = biquad_cascade_jax(x, sections)
+
+    block = int(round(_BLOCK_S * fs))
+    step = int(round(block * (1.0 - _OVERLAP)))
+    n = y.shape[-1]
+    n_blocks = (n - block) // step + 1
+    if n_blocks <= 0:
+        raise ValueError("signal shorter than one 400 ms block")
+
+    sq = jnp.cumsum(y * y, axis=-1)
+    sq = jnp.concatenate([jnp.zeros_like(sq[..., :1]), sq], axis=-1)
+    starts = jnp.arange(n_blocks) * step
+    z = (sq[..., starts + block] - sq[..., starts]) / block  # [..., ch, blocks]
+
+    g = jnp.asarray(_CHANNEL_G[: z.shape[-2]], dtype=jnp.float32)
+    power = jnp.einsum("...cb,c->...b", z, g)  # [..., blocks]
+
+    l_blocks = -0.691 + 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+
+    abs_mask = (l_blocks > _ABS_GATE_LUFS).astype(jnp.float32)
+    denom = jnp.maximum(abs_mask.sum(-1), 1.0)
+    z_abs = (power * abs_mask).sum(-1) / denom
+    rel_gate = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) + _REL_GATE_LU
+
+    gated = abs_mask * (l_blocks > rel_gate[..., None]).astype(jnp.float32)
+    denom2 = jnp.maximum(gated.sum(-1), 1.0)
+    z_gated = (power * gated).sum(-1) / denom2
+    lufs = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_gated, 1e-30))
+    # silence (no gated blocks) -> very negative, mirroring -inf
+    return jnp.where(gated.sum(-1) > 0, lufs, -jnp.inf)
+
+
 def block_loudness_jax(audio, fs: float, block_s: float = _BLOCK_S, overlap: float = _OVERLAP):
     """On-device momentary block loudness (no gating): returns per-block LKFS
     for mono ``[..., samples]`` signals.  The sequential IIR K-weighting is
