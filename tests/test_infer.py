@@ -178,3 +178,25 @@ class TestShardedMixing:
         g1 = plain.song_gains(stems)
         g2 = sharded.song_gains(stems)
         np.testing.assert_allclose(g1, g2, atol=1e-4)
+
+
+class TestCatalog:
+    def test_mix_catalog(self, model_and_vars, tmp_path):
+        import os
+
+        from tpumix.infer.catalog import mix_catalog
+        from test_data import make_song
+
+        base = str(tmp_path / "cat")
+        os.makedirs(base)
+        for i, name in enumerate(["CatA", "CatB"]):
+            make_song(base, name, 4.0, seed=i)
+        model, variables = model_and_vars
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        mixer = SongMixer(model, variables, cfg)
+        out = str(tmp_path / "mixed")
+        written = mix_catalog(mixer, base, ["CatA", "CatB"], out, naive_sum=True)
+        assert len(written) == 2
+        for p in written:
+            assert os.path.exists(p)
+        assert os.path.exists(os.path.join(out, "CatA_sum.wav"))

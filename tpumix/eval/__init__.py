@@ -1,0 +1,1 @@
+from tpumix.eval.evaluator import LoudnessEvaluator  # noqa: F401

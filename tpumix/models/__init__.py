@@ -9,3 +9,9 @@ from tpumix.models.baselines import (  # noqa: F401
     MeanLoudnessModel,
     RandomModel,
 )
+from tpumix.models.registry import build_model, example_feature_shape  # noqa: F401
+from tpumix.models.convert import (  # noqa: F401
+    flax_scalar_to_torch,
+    load_torch_checkpoint,
+    torch_scalar_to_flax,
+)

@@ -23,3 +23,15 @@ from tpumix.ops.smoothing import (  # noqa: F401
     savgol_smooth,
     savgol_smooth_jax,
 )
+from tpumix.ops.istft import (  # noqa: F401
+    istft,
+    mix_in_spectrogram_domain,
+    reconstruct_from_magnitude,
+    stft_complex,
+)
+from tpumix.ops.loudness import (  # noqa: F401
+    Meter,
+    integrated_loudness,
+    integrated_loudness_jax,
+    normalize_loudness,
+)
