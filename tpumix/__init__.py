@@ -16,6 +16,13 @@ def _setup_compilation_cache() -> None:
     cache turns warm starts into sub-second loads."""
     import os
 
+    # only for remote-compile TPU backends (axon tunnel): that's where cold
+    # compiles cost minutes.  CPU AOT results are machine-feature-sensitive
+    # and compile fast anyway — caching them risks SIGILL on feature drift.
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "") and "tpu" not in os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
+        return
     try:
         import jax
 
