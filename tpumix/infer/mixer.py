@@ -112,20 +112,18 @@ class SongMixer:
 
     # --- device path ---------------------------------------------------------
 
-    def song_gains(self, stems: np.ndarray) -> np.ndarray:
-        """Per-chunk raw gains for a whole song in one device call.
-
-        :param stems: ``[4, S]`` mono stem waveforms (bass, drums, vocals,
-            other order — tpumix STEMS).
-        :return: ``[num_chunks - 1, 4]`` scalar gains (reference window
-            indexing, see module docstring).
-        """
+    def song_gains_async(self, stems: np.ndarray):
+        """Dispatch the whole song's gain computation WITHOUT blocking:
+        transfers and device calls are queued asynchronously and the returned
+        handle is collected later with :meth:`collect_gains`.  This is how
+        catalogue pipelines overlap song k's host epilogue with song k+1's
+        transfers."""
         num_stems, S = stems.shape
         C = self.chunk_samples
         num_chunks = S // C
         n_gains = num_chunks - 1
         if n_gains <= 0:
-            return np.zeros((0, num_stems), dtype=np.float32)
+            return []
 
         seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
         if self.mesh is not None and self.chunk_axis is not None:
@@ -150,11 +148,31 @@ class SongMixer:
             else:
                 flat[:, : n * C] = src
             futures.append((self._gains_fn(jnp.asarray(flat), seg), n))
+        return futures
 
-        gains = np.concatenate([np.asarray(g)[:n] for g, n in futures], axis=0)
-        return gains
+    @staticmethod
+    def collect_gains(futures) -> np.ndarray:
+        """Block on a :meth:`song_gains_async` handle -> ``[n_gains, 4]``."""
+        if not futures:
+            return np.zeros((0, len(STEMS)), dtype=np.float32)
+        return np.concatenate([np.asarray(g)[:n] for g, n in futures], axis=0)
+
+    def song_gains(self, stems: np.ndarray) -> np.ndarray:
+        """Per-chunk raw gains for a whole song in one device call.
+
+        :param stems: ``[4, S]`` mono stem waveforms (bass, drums, vocals,
+            other order — tpumix STEMS).
+        :return: ``[num_chunks - 1, 4]`` scalar gains (reference window
+            indexing, see module docstring).
+        """
+        return self.collect_gains(self.song_gains_async(stems))
 
     # --- host epilogue -------------------------------------------------------
+
+    @staticmethod
+    def _mono(x) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32)
+        return x.mean(axis=0) if x.ndim == 2 else x
 
     def mix_song_smooth(
         self, loaded_tracks: Dict[str, np.ndarray]
@@ -164,16 +182,29 @@ class SongMixer:
 
         ``loaded_tracks`` values are ``[channels, S]`` or ``[S]`` waveforms.
         """
-        # feature input: mono downmix of each stem
-        def mono(x):
-            x = np.asarray(x, dtype=np.float32)
-            return x.mean(axis=0) if x.ndim == 2 else x
-
-        stem_mono = np.stack([mono(loaded_tracks[t]) for t in STEMS])  # [4, S]
+        stem_mono = np.stack([self._mono(loaded_tracks[t]) for t in STEMS])  # [4, S]
         gains = self.song_gains(stem_mono)  # [n_gains, 4] (model-scalar dB domain)
-        amp_gains = 10.0 ** (0.5 * gains)  # scalar_dB_to_amplitude, dataset_utils.py:46-50
+        return self._apply_gains(loaded_tracks, stem_mono.shape[1], gains)
 
-        S = stem_mono.shape[1]
+    def mix_songs_smooth(self, track_dicts):
+        """Pipelined multi-song mixing: dispatches ALL songs' device work
+        up-front (transfers + gain computes queue asynchronously), then runs
+        each song's host smoothing epilogue while later songs' transfers are
+        still in flight.  Returns a list of ``mix_song_smooth`` results."""
+        monos = [np.stack([self._mono(tr[t]) for t in STEMS]) for tr in track_dicts]
+        handles = [self.song_gains_async(m) for m in monos]
+        out = []
+        for tracks, mono_stems, h in zip(track_dicts, monos, handles):
+            gains = self.collect_gains(h)
+            out.append(self._apply_gains(tracks, mono_stems.shape[1], gains))
+        return out
+
+    def _apply_gains(
+        self, loaded_tracks: Dict[str, np.ndarray], S: int, gains: np.ndarray
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, list], Dict[str, list]]:
+        """Host epilogue: dB->amp, Savitzky-Golay smoothing, mask stretch,
+        per-stem waveform scaling."""
+        amp_gains = 10.0 ** (0.5 * gains)  # scalar_dB_to_amplitude, dataset_utils.py:46-50
         num_chunks = S // self.chunk_samples
         raw_gains = {t: list(map(float, amp_gains[:, i])) for i, t in enumerate(STEMS)}
 
