@@ -246,3 +246,11 @@ class TestBatching:
             assert stems.shape[0] == 2
             n += 1
         assert n == len(it)
+
+
+def test_align_track_lengths():
+    from tpumix.data.loaders import align_track_lengths
+
+    tracks = {"a": np.zeros((2, 100)), "b": np.zeros((2, 97)), "c": np.zeros(99)}
+    out = align_track_lengths(tracks)
+    assert all(v.shape[-1] == 97 for v in out.values())

@@ -200,3 +200,19 @@ class TestCatalog:
         for p in written:
             assert os.path.exists(p)
         assert os.path.exists(os.path.join(out, "CatA_sum.wav"))
+
+
+class TestPipelinedMixing:
+    def test_mix_songs_smooth_matches_individual(self, model_and_vars, song):
+        model, variables = model_and_vars
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        mixer = SongMixer(model, variables, cfg)
+        rng = np.random.default_rng(5)
+        song2 = {t: (v + 0.01 * rng.standard_normal(v.shape)).astype(np.float32)
+                 for t, v in song.items()}
+        batch = mixer.mix_songs_smooth([song, song2])
+        singles = [mixer.mix_song_smooth(song), mixer.mix_song_smooth(song2)]
+        for (mb, rb, sb), (ms, rs, ss) in zip(batch, singles):
+            for t in STEMS:
+                np.testing.assert_allclose(mb[t], ms[t], atol=1e-6)
+                np.testing.assert_allclose(rb[t], rs[t], atol=1e-6)

@@ -85,6 +85,14 @@ def load_tracks_musdb18(
     }
 
 
+def align_track_lengths(tracks: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Trim all tracks of a song to the shortest length (the reference's
+    manual-mix length-alignment fix, experiments.ipynb cell 57 — some MUSDB
+    manual gain mixes drift a few hundred samples from the stems)."""
+    n = min(a.shape[-1] for a in tracks.values())
+    return {k: a[..., :n] for k, a in tracks.items()}
+
+
 def split_songlist(
     songlist: Sequence[str],
     train_val_test_split: Tuple[float, float, float] = (0.8, 0.2, 0.0),

@@ -51,7 +51,26 @@ def mix_catalog(
 
     threading.Thread(target=producer, daemon=True).start()
 
-    written = []
+    # pipeline: as soon as a song's tracks arrive, dispatch its device work
+    # (async transfers + gain computes), then run host epilogues in order —
+    # device work for song k+1 overlaps disk I/O and epilogue of song k
+    pending = []  # (song, tracks, mono_stems, gains_handle)
+    written: List[str] = []
+
+    def drain_one():
+        song, tracks, mono_stems, handle = pending.pop(0)
+        gains = mixer.collect_gains(handle)
+        mixed_tracks, _, _ = mixer._apply_gains(tracks, mono_stems.shape[1], gains)
+        total = sum(np.asarray(v, dtype=np.float32) for v in mixed_tracks.values())
+        peak = float(np.max(np.abs(total))) or 1.0
+        out_path = os.path.join(out_dir, f"{song}_mixed.wav")
+        wavio.write(out_path, (total / peak).T, sr)
+        written.append(out_path)
+        if naive_sum:
+            raw_total = sum(np.asarray(v, dtype=np.float32) for v in tracks.values())
+            rp = float(np.max(np.abs(raw_total))) or 1.0
+            wavio.write(os.path.join(out_dir, f"{song}_sum.wav"), (raw_total / rp).T, sr)
+
     while True:
         item = q.get()
         if item is _END:
@@ -59,12 +78,10 @@ def mix_catalog(
         song, tracks, err = item
         if err is not None:
             raise err
-        mixed = mixer.mix_song(tracks)
-        out_path = os.path.join(out_dir, f"{song}_mixed.wav")
-        wavio.write(out_path, np.asarray(mixed).T, sr)
-        written.append(out_path)
-        if naive_sum:
-            total = sum(np.asarray(v, dtype=np.float32) for v in tracks.values())
-            peak = float(np.max(np.abs(total))) or 1.0
-            wavio.write(os.path.join(out_dir, f"{song}_sum.wav"), (total / peak).T, sr)
+        mono_stems = np.stack([mixer._mono(tracks[t]) for t in STEMS])
+        pending.append((song, tracks, mono_stems, mixer.song_gains_async(mono_stems)))
+        while len(pending) > prefetch:
+            drain_one()
+    while pending:
+        drain_one()
     return written
