@@ -92,9 +92,9 @@ def bench_tpu(model, variables, song, reps: int = 5, n_songs: int = 3) -> float:
     flat = np.zeros((4, seg * C), dtype=np.float32)
     flat[:, : seg * C] = stems[:, : seg * C]
     x = jax.device_put(jnp.asarray(flat))
-    jax.block_until_ready(mixer._gains_fn(x, seg))
-    tic = time.perf_counter()
-    jax.block_until_ready(mixer._gains_fn(x, seg))
+    np.asarray(mixer._gains_fn(x, seg))  # force (block_until_ready is
+    tic = time.perf_counter()            # unreliable through the tunnel)
+    np.asarray(mixer._gains_fn(x, seg))
     resident = (seg * cfg.chunk_length_s) / (time.perf_counter() - tic)
     print(
         f"[bench detail] end-to-end {dur / best:.1f} audio-s/s; "

@@ -61,6 +61,17 @@ class Stopwatch:
         return "\n".join(lines)
 
 
+def force(result):
+    """Truly materialise a device result on the host.
+
+    NOTE: ``jax.block_until_ready`` does NOT reliably wait on remote-tunnel
+    backends (observed on the axon PJRT plugin) — the only trustworthy fence
+    is a host transfer.  All tpumix timing goes through this."""
+    import numpy as np
+
+    return jax.tree.map(np.asarray, result)
+
+
 def measure_throughput(
     fn: Callable,
     args: tuple,
@@ -70,14 +81,15 @@ def measure_throughput(
 ) -> Dict[str, float]:
     """Best-of-``reps`` audio-seconds/sec for ``fn(*args)``.
 
-    Each rep runs the function and blocks on its result, so async dispatch is
-    fully accounted.  Returns ``{"seconds": best, "audio_s_per_s": rate}``.
+    Each rep runs the function and forces its result to the host, so async
+    dispatch is fully accounted.  Returns ``{"seconds": best,
+    "audio_s_per_s": rate}``.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        force(fn(*args))
     best = float("inf")
     for _ in range(reps):
         tic = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        force(fn(*args))
         best = min(best, time.perf_counter() - tic)
     return {"seconds": best, "audio_s_per_s": audio_seconds / best}
