@@ -254,3 +254,25 @@ def test_align_track_lengths():
     tracks = {"a": np.zeros((2, 100)), "b": np.zeros((2, 97)), "c": np.zeros(99)}
     out = align_track_lengths(tracks)
     assert all(v.shape[-1] == 97 for v in out.values())
+
+
+def test_cached_feature_augmentation(medley_dir, tmp_path):
+    """Feature-domain augmentation applies on the precompute-cache path
+    (reference data/dataset.py:265-266)."""
+    cache = str(tmp_path / "aug_cache")
+    d0 = MultitrackAudioDataset(
+        medley_dir, chunk_length=1.0, seed=3, return_features=True,
+        hop_length=512, cache_dir=cache,
+    )
+    d0.precompute_features()
+    base, _ = d0[0]
+    d1 = MultitrackAudioDataset(
+        medley_dir, chunk_length=1.0, seed=3, return_features=True,
+        hop_length=512, cache_dir=cache, augment_data=True,
+    )
+    aug, _ = d1[0]
+    # per-stem constant dB offsets within [20log10(0.6), 20log10(1.4)]
+    offsets = (aug - base).reshape(4, -1)
+    assert np.allclose(offsets.std(axis=1), 0, atol=1e-5)
+    assert np.all(offsets[:, 0] >= 20 * np.log10(0.6) - 1e-5)
+    assert np.all(offsets[:, 0] <= 20 * np.log10(1.4) + 1e-5)

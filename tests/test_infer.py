@@ -216,3 +216,14 @@ class TestPipelinedMixing:
             for t in STEMS:
                 np.testing.assert_allclose(mb[t], ms[t], atol=1e-6)
                 np.testing.assert_allclose(rb[t], rs[t], atol=1e-6)
+
+    def test_plot_gain_curves(self, model_and_vars, song, tmp_path):
+        from tpumix.infer.catalog import plot_gain_curves
+
+        model, variables = model_and_vars
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        mixer = SongMixer(model, variables, cfg)
+        _, raw, smooth = mixer.mix_song_smooth(song)
+        out = plot_gain_curves(raw, smooth, str(tmp_path / "curves.png"), title="t")
+        import os
+        assert os.path.exists(out)

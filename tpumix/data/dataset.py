@@ -145,12 +145,23 @@ class MultitrackAudioDataset:
         features (reference data/dataset.py:132-162)."""
         return spectrogram_features_np(np.asarray(audio, dtype=np.float32), self._frontend)
 
+    def _augment_features(self, features_db: np.ndarray) -> np.ndarray:
+        """Feature-domain augmentation for the precomputed path: per-stem
+        random gains converted to dB and ADDED to the dB spectrograms
+        (reference data/dataset.py:170-179; domain equivalence validated in
+        reference experiments.ipynb cells 17-19)."""
+        gains = self._rng.uniform(0.6, 1.4, size=features_db.shape[0])
+        return features_db + (20.0 * np.log10(gains))[:, None, None].astype(np.float32)
+
     def _features_for_index(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         if self._cache_dir is not None:
             cached = self._load_cached(index)
             if cached is not None:
-                return cached
-        stems, mix = self.load_audio_chunk(index)
+                train_features, gt_features = cached
+                if self._augment:
+                    train_features = self._augment_features(train_features)
+                return train_features, gt_features
+        stems, mix = self.load_audio_chunk(index)  # waveform-domain augment inside
         train_features = np.stack([self.compute_features(s) for s in stems])
         gt_features = self.compute_features(mix)
         return train_features, gt_features
