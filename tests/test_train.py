@@ -250,3 +250,23 @@ class TestTrainerLoop:
         tr.fit(Loader(), Loader(), 0, 3)
         kept = [d for d in os.listdir(tr.ckpt_dir) if d.startswith("epoch_")]
         assert len(kept) == 1
+
+
+class TestPallasFrontendTraining:
+    def test_train_step_with_pallas_frontend(self, data):
+        """Pallas-forward/XLA-backward frontend trains (interpret mode on CPU)."""
+        import dataclasses
+
+        fe = dataclasses.replace(FRONTEND, implementation="pallas")
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_train_step(model, fe, tx))
+        stems, mix = data[0]
+        s2, m = step(state, jnp.asarray(stems), jnp.asarray(mix), jax.random.key(1))
+        assert np.isfinite(float(m["loss"]))
+
+        # loss matches the fft-frontend step to frontend-conformance noise
+        step_fft = jax.jit(make_train_step(model, FRONTEND, tx))
+        _, m_fft = step_fft(state, jnp.asarray(stems), jnp.asarray(mix), jax.random.key(1))
+        assert abs(float(m["loss"]) - float(m_fft["loss"])) / float(m_fft["loss"]) < 1e-3

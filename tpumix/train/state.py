@@ -90,13 +90,25 @@ def make_train_step(
 
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
+    def _features(x: jax.Array) -> jax.Array:
+        """Differentiable frontend: the fused Pallas kernel forward with an
+        XLA-derived backward when implementation="pallas" (the raw kernel has
+        no autodiff rule), plain XLA path otherwise."""
+        if frontend.implementation == "pallas":
+            import jax.numpy as jnp
+
+            from tpumix.ops.stft_pallas import stft_features_tm_hybrid
+
+            return jnp.swapaxes(stft_features_tm_hybrid(x, frontend), -1, -2)
+        return spectrogram_features(x, frontend)
+
     def step(state: TrainState, stems: jax.Array, mix: jax.Array, rng: jax.Array):
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         if augment:
             stems = augment_audio(stems, aug_rng)  # per (batch, stem) random gain
 
-        feats = spectrogram_features(stems, frontend)  # [B, 4, F, T]
-        gt = spectrogram_features(mix, frontend)  # [B, F, T]
+        feats = _features(stems)  # [B, 4, F, T]
+        gt = _features(mix)  # [B, F, T]
         feats = _constrain(feats, (dp_axis, None, None, sp_axis))
         gt = _constrain(gt, (dp_axis, None, sp_axis))
 
