@@ -276,3 +276,63 @@ def test_cached_feature_augmentation(medley_dir, tmp_path):
     assert np.allclose(offsets.std(axis=1), 0, atol=1e-5)
     assert np.all(offsets[:, 0] >= 20 * np.log10(0.6) - 1e-5)
     assert np.all(offsets[:, 0] <= 20 * np.log10(1.4) + 1e-5)
+
+
+class TestWavioRobustness:
+    def test_not_a_wav(self, tmp_path):
+        p = str(tmp_path / "bad.wav")
+        with open(p, "wb") as f:
+            f.write(b"NOT A WAVE FILE AT ALL")
+        with pytest.raises(ValueError):
+            wavio.info(p)
+
+    def test_truncated_payload_clamped(self, tmp_path):
+        # data chunk header claims more frames than the file holds
+        x = np.zeros(1000, dtype=np.float32)
+        p = str(tmp_path / "trunc.wav")
+        wavio.write(p, x, SR)
+        with open(p, "r+b") as f:
+            f.truncate(44 + 400 * 4)  # keep only 400 frames
+        meta = wavio.info(p)
+        assert meta.frames == 400
+        y, _ = wavio.read(p)
+        assert y.shape == (400,)
+
+    def test_extra_chunks_skipped(self, tmp_path):
+        # LIST chunk between fmt and data (common in the wild)
+        import struct
+
+        x = (np.arange(100) / 100).astype(np.float32)
+        p0 = str(tmp_path / "base.wav")
+        wavio.write(p0, x, SR)
+        raw = open(p0, "rb").read()
+        head, payload = raw[:36], raw[36:]
+        extra = b"LIST" + struct.pack("<I", 10) + b"INFOhello\x00"
+        patched = head + extra + payload
+        patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        p1 = str(tmp_path / "extra.wav")
+        open(p1, "wb").write(patched)
+        y, sr = wavio.read(p1)
+        np.testing.assert_allclose(y, x, atol=1e-7)
+
+    def test_extensible_format(self, tmp_path):
+        # WAVE_FORMAT_EXTENSIBLE wrapper around PCM16
+        import struct
+
+        x = np.clip(np.sin(np.arange(500) / 10), -1, 1).astype(np.float32)
+        pcm = np.round(x * 32768).clip(-32768, 32767).astype("<i2").tobytes()
+        # base(16) + cbSize(2) + validBits(2) + channelMask(4) + GUID(16)
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, SR, SR * 2, 2, 16)
+            + struct.pack("<HHI", 22, 16, 0x4)
+            + struct.pack("<H", 0x0001) + b"\x00" * 14
+        )
+        p = str(tmp_path / "ext.wav")
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+            f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+        meta = wavio.info(p)
+        assert meta.format == "PCM_16"
+        y, _ = wavio.read(p)
+        np.testing.assert_allclose(y, x, atol=1e-4)
