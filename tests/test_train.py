@@ -119,11 +119,12 @@ class TestTrainStep:
 
 
 class TestMeshTraining:
-    def test_dp_training_on_8_device_mesh(self, data):
+    def test_dp_training_on_8_device_mesh(self, data, tmp_path):
         assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
         mesh = make_mesh((8,), ("dp",))
         model = MixingModelScalar1s()
-        cfg = TrainConfig(batch_size=8, num_epochs=1, learning_rate=1e-3, seed=0)
+        cfg = TrainConfig(batch_size=8, num_epochs=1, learning_rate=1e-3, seed=0,
+                          checkpoint_dir=str(tmp_path))
         tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), mesh=mesh, run_name="mesh_test")
 
         class Loader:
