@@ -54,7 +54,7 @@ def make_song(duration_s: float, sr: int = 44100, seed: int = 0):
     }
 
 
-def bench_tpu(model, variables, song, reps: int = 5, n_songs: int = 3) -> float:
+def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     """End-to-end catalogue mixing throughput (audio-seconds/sec) on the
     default backend: ``n_songs`` full songs mixed through the pipelined
     multi-song path (device transfers/computes for later songs overlap the

@@ -1,0 +1,121 @@
+"""Additional inference coverage: Scalar2s (dilated) conformance against the
+reference-semantics pipeline, ResNet mixer path, checkpoint-converter
+roundtrip, degenerate songs."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpumix.config import ModelConfig
+from tpumix.infer.mixer import SongMixer, STEMS
+from tpumix.models import (
+    GainResNet,
+    MixingModelScalar2s,
+    flax_scalar_to_torch,
+    torch_scalar_to_flax,
+)
+from tpumix.utils.reference_pipeline import build_torch_twin, reference_mix_song_smooth
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def song():
+    rng = np.random.default_rng(7)
+    n = 16 * SR  # 8 chunks of 2 s
+    t = np.arange(n) / SR
+
+    def shaped(scale, smooth):
+        k = np.ones(smooth) / smooth
+        return scale * np.convolve(rng.standard_normal(n), k, mode="same")
+
+    return {
+        "bass": (0.4 * np.sin(2 * np.pi * 70 * t) + shaped(0.1, 48)).astype(np.float32),
+        "drums": shaped(0.3, 2).astype(np.float32),
+        "vocals": (0.3 * np.sin(2 * np.pi * 260 * t) + shaped(0.1, 12)).astype(np.float32),
+        "other": shaped(0.2, 6).astype(np.float32),
+    }
+
+
+class TestScalar2sConformance:
+    def test_gain_mae_vs_reference_pipeline(self, song):
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512)
+        mixer = SongMixer(model, variables, cfg)
+        _, raw_batched, _ = mixer.mix_song_smooth(song)
+
+        twin = build_torch_twin(
+            variables["params"], variables["batch_stats"], block1_dilation=2
+        )
+        _, raw_ref, _ = reference_mix_song_smooth(twin, song, chunk_length=2.0, sr=SR, hop=512)
+
+        for t in STEMS:
+            a, b = np.asarray(raw_batched[t]), np.asarray(raw_ref[t])
+            assert a.shape == b.shape == (7,)
+            mae = np.mean(np.abs(2 * np.log10(a) - 2 * np.log10(b)))
+            assert mae <= 1e-3, (t, mae)
+
+
+class TestResNetMixer:
+    def test_resnet_gains_path(self, song):
+        model = GainResNet()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 216), np.float32), train=False
+        )
+        cfg = ModelConfig(name="resnet18", chunk_length_s=5.0, hop_length=1024)
+        mixer = SongMixer(model, variables, cfg)
+        stems = np.stack([song[t] for t in STEMS])
+        gains = mixer.song_gains(stems)
+        assert gains.shape == (16 // 5 - 1, 4)  # 3 chunks -> 2 gains
+        assert np.all(np.isfinite(gains))
+
+
+class TestConverterRoundtrip:
+    def test_flax_torch_flax(self):
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(1), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        sd = flax_scalar_to_torch(variables["params"], variables["batch_stats"])
+        params2, stats2 = torch_scalar_to_flax(sd)
+        for a, b in zip(
+            jax.tree.leaves(variables["params"]), jax.tree.leaves(params2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(variables["batch_stats"]), jax.tree.leaves(stats2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_converted_forward_matches(self):
+        """Params loaded back from the torch naming scheme drive the flax
+        model to identical outputs."""
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(2), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        sd = flax_scalar_to_torch(variables["params"], variables["batch_stats"])
+        params2, stats2 = torch_scalar_to_flax(sd)
+        x = np.random.default_rng(0).standard_normal((1, 4, 1025, 173)).astype(np.float32)
+        m1, g1 = model.apply(variables, x, train=False)
+        m2, g2 = model.apply({"params": params2, "batch_stats": stats2}, x, train=False)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+class TestDegenerateSongs:
+    def test_single_chunk_song_passthrough(self):
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512)
+        mixer = SongMixer(model, variables, cfg)
+        tiny = {t: 0.1 * np.ones(2 * SR + 5, np.float32) for t in STEMS}  # 1 chunk
+        mixed, raw, smooth = mixer.mix_song_smooth(tiny)
+        for t in STEMS:
+            np.testing.assert_array_equal(mixed[t], tiny[t])  # unmodified
+            assert raw[t] == [] and smooth[t] == []

@@ -208,6 +208,13 @@ class SongMixer:
         num_chunks = S // self.chunk_samples
         raw_gains = {t: list(map(float, amp_gains[:, i])) for i, t in enumerate(STEMS)}
 
+        if amp_gains.shape[0] == 0:
+            # song shorter than two chunks: no gain windows exist — pass the
+            # stems through unmodified (the reference would emit an empty
+            # curve and crash in savgol/interpolation)
+            mixed = {t: np.asarray(loaded_tracks[t], dtype=np.float32) for t in STEMS}
+            return mixed, raw_gains, {t: [] for t in STEMS}
+
         smooth_gains: Dict[str, list] = {}
         mixed_tracks: Dict[str, np.ndarray] = {}
         n_gains = amp_gains.shape[0]
