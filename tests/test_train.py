@@ -271,3 +271,41 @@ class TestPallasFrontendTraining:
         step_fft = jax.jit(make_train_step(model, FRONTEND, tx))
         _, m_fft = step_fft(state, jnp.asarray(stems), jnp.asarray(mix), jax.random.key(1))
         assert abs(float(m["loss"]) - float(m_fft["loss"])) / float(m_fft["loss"]) < 1e-3
+
+
+class TestInt16Training:
+    def test_int16_batches_match_f32(self, data):
+        """int16 waveform batches (on-device dequant) produce the same loss
+        as f32 when samples are on the PCM16 grid."""
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_train_step(model, FRONTEND, tx))
+        stems, mix = data[0]
+        q = lambda a: np.clip(np.rint(a * 32768.0), -32768, 32767)  # noqa: E731
+        stems_g = (q(stems) / 32768.0).astype(np.float32)
+        mix_g = (q(mix) / 32768.0).astype(np.float32)
+        _, m_f32 = step(state, jnp.asarray(stems_g), jnp.asarray(mix_g), jax.random.key(1))
+        _, m_i16 = step(
+            state,
+            jnp.asarray(q(stems).astype(np.int16)),
+            jnp.asarray(q(mix).astype(np.int16)),
+            jax.random.key(1),
+        )
+        np.testing.assert_allclose(float(m_f32["loss"]), float(m_i16["loss"]), rtol=1e-6)
+
+    def test_trainer_int16_mode(self, data, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path),
+                          seed=0, transfer_dtype="int16")
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="i16")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        res = tr.fit(Loader(), Loader(), 0, 1)
+        assert np.isfinite(res.train_loss[0])

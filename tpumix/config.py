@@ -117,6 +117,10 @@ class TrainConfig:
     seed: int = 0
     log_every_steps: int = 30  # ignite iteration logging cadence (cell 14)
     augment: bool = False
+    # "int16": ship waveform batches as 16-bit PCM with on-device
+    # dequantisation — half the host->device bytes, lossless for 16-bit
+    # source material (MUSDB18-HQ / MedleyDB stems)
+    transfer_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
     mesh_axis_names: Tuple[str, ...] = ("dp",)
 

@@ -103,6 +103,12 @@ def make_train_step(
         return spectrogram_features(x, frontend)
 
     def step(state: TrainState, stems: jax.Array, mix: jax.Array, rng: jax.Array):
+        # int16 PCM inputs dequantise on device (half the host->device bytes;
+        # lossless for 16-bit source material — same trick as the mixer)
+        if stems.dtype == jnp.int16:
+            stems = stems.astype(jnp.float32) * (1.0 / 32768.0)
+        if mix.dtype == jnp.int16:
+            mix = mix.astype(jnp.float32) * (1.0 / 32768.0)
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         if augment:
             stems = augment_audio(stems, aug_rng)  # per (batch, stem) random gain

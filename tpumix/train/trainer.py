@@ -140,22 +140,33 @@ class Trainer:
     # --- loops ---------------------------------------------------------------
 
     def _run_train_epoch(self, loader, rng) -> float:
-        total, count = 0.0, 0
+        losses = []  # device scalars; forced once at epoch end so steps
+        # pipeline (per-step host sync would serialise transfers + compute)
+        transform = None
+        if self.config.transfer_dtype == "int16":
+            def transform(batch):
+                return tuple(
+                    np.clip(np.rint(np.asarray(b) * 32768.0), -32768, 32767).astype(np.int16)
+                    for b in batch
+                )
+
         it = iter(loader)
         if self.mesh is None:
-            it = prefetch_to_device(it, size=2)
+            it = prefetch_to_device(it, size=2, transform=transform)
+        elif transform is not None:
+            it = map(transform, it)
         for i, (stems, mix) in enumerate(it):
             if self.mesh is not None:
                 stems, mix = shard_batch((stems, mix), self.mesh)
             self.state, metrics = self._train_step(
                 self.state, jnp.asarray(stems), jnp.asarray(mix), rng
             )
-            loss = float(metrics["loss"])
-            total += loss
-            count += 1
+            losses.append(metrics["loss"])
             if (i + 1) % self.config.log_every_steps == 0:
-                print(f"  [{i + 1}/{len(loader)}] loss: {loss:.4f}")
-        return total / max(count, 1)
+                print(f"  [{i + 1}/{len(loader)}] loss: {float(metrics['loss']):.4f}")
+        if not losses:
+            return 0.0
+        return float(np.mean([np.asarray(l) for l in losses]))
 
     def _run_val_epoch(self, loader) -> float:
         total, count = 0.0, 0
