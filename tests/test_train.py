@@ -309,3 +309,35 @@ class TestInt16Training:
 
         res = tr.fit(Loader(), Loader(), 0, 1)
         assert np.isfinite(res.train_loss[0])
+
+
+class TestResume:
+    def test_resume_restores_latest(self, data, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=2, checkpoint_dir=str(tmp_path), seed=0)
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="resume_t")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        tr.fit(Loader(), Loader(), 0, 2)
+        # a fresh trainer instance over the same run dir resumes at epoch 2
+        tr2 = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="resume_t")
+        start = tr2.resume()
+        assert start == 2
+        # the restored params match the epoch-1 checkpoint
+        import jax as _jax
+
+        tr.restore_checkpoint(1)
+        for a, b in zip(_jax.tree.leaves(tr.state.params), _jax.tree.leaves(tr2.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_fresh_run(self, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path), seed=0)
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="fresh")
+        assert tr.resume() == 0

@@ -221,8 +221,13 @@ def cmd_listening_parse(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    # bench.py lives at the repo root (driver contract), not in the package
+    import importlib.util
 
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", os.path.abspath(path))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
     return 0
 

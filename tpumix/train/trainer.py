@@ -120,6 +120,30 @@ class Trainer:
                     shutil.rmtree(path)
                 del self._scores[ep]
 
+    def latest_epoch(self) -> Optional[int]:
+        """Newest epoch with a checkpoint in the run dir, or None."""
+        if not os.path.isdir(self.ckpt_dir):
+            return None
+        epochs = [
+            int(d.split("_")[1])
+            for d in os.listdir(self.ckpt_dir)
+            if d.startswith("epoch_") and os.path.isdir(os.path.join(self.ckpt_dir, d))
+        ]
+        return max(epochs) if epochs else None
+
+    def resume(self) -> int:
+        """Elastic recovery: restore the newest checkpoint of this run (if
+        any) and return the epoch to continue from (0 when starting fresh).
+        The reference's closest artifact is manual warm-starting from a file
+        path (reference training.ipynb cell 10, model_trainer.py fit
+        start_epoch)."""
+        latest = self.latest_epoch()
+        if latest is None:
+            return 0
+        self.restore_checkpoint(latest)
+        print(f"[resume] restored epoch {latest} from {self.ckpt_dir}")
+        return latest + 1
+
     def restore_checkpoint(self, epoch: int) -> None:
         target = dict(
             params=self.state.params,
