@@ -78,10 +78,16 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
 
     mixer.mix_song_smooth(song)  # warm-up: compile + first run
     best = float("inf")
-    for _ in range(reps):
+    # the shared host->device relay in this environment stalls unpredictably;
+    # bound total measuring time while taking the best of whatever completed
+    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "240"))
+    started = time.perf_counter()
+    for rep in range(reps):
         tic = time.perf_counter()
         mixer.mix_songs_smooth(songs)
         best = min(best, (time.perf_counter() - tic) / n_songs)
+        if rep >= 1 and time.perf_counter() - started > budget:
+            break
 
     # device-compute-only rate (data resident), for the bandwidth-wall record
     import jax.numpy as jnp
