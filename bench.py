@@ -76,7 +76,9 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
         make_song(dur, seed=100 + k) for k in range(n_songs - 1)
     ]
 
-    mixer.mix_song_smooth(song)  # warm-up: compile + first run
+    # warm-up compiles the (fixed-shape) segment program with a tiny song —
+    # identical executables, 40x fewer bytes through the congestible relay
+    mixer.mix_song_smooth(make_song(6.0, seed=99))
     best = float("inf")
     # the shared host->device relay in this environment stalls unpredictably;
     # bound total measuring time while taking the best of whatever completed
