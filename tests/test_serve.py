@@ -1,0 +1,98 @@
+"""HTTP mixing service: wire format round-trip and live request handling."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpumix.config import ModelConfig
+from tpumix.infer.mixer import SongMixer
+from tpumix.models import MixingModelScalar1s
+from tpumix.serve import STEMS, decode_stems_wav, encode_stems_wav, serve
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = MixingModelScalar1s()
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 4, 1025, 87), np.float32), train=False
+    )
+    cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+    mixer = SongMixer(model, variables, cfg)
+    httpd = serve(mixer, host="127.0.0.1", port=0, model_name="scalar1s")
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tracks():
+    rng = np.random.default_rng(0)
+    n = 5 * SR
+    return {t: (0.2 * rng.standard_normal((2, n))).astype(np.float32) for t in STEMS}
+
+
+def test_wire_format_roundtrip(tracks):
+    body = encode_stems_wav(tracks)
+    decoded, sr = decode_stems_wav(body)
+    assert sr == SR
+    for t in STEMS:
+        np.testing.assert_array_equal(decoded[t], tracks[t])
+
+
+def test_healthz(server):
+    host, port = server
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    assert r.status == 200
+    payload = json.loads(r.read())
+    assert payload["status"] == "ok" and payload["model"] == "scalar1s"
+
+
+def test_mix_request(server, tracks):
+    host, port = server
+    body = encode_stems_wav(tracks)
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    conn.request("POST", "/mix", body=body, headers={"Content-Length": str(len(body))})
+    r = conn.getresponse()
+    assert r.status == 200, r.read()
+    wav = r.read()
+    assert wav[:4] == b"RIFF"
+    # decode the response and sanity-check shape
+    import tempfile
+
+    from tpumix.data import wavio
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(wav)
+        f.flush()
+        audio, sr = wavio.read(f.name, always_2d=True)
+    assert sr == SR and audio.shape[0] == 5 * SR
+
+
+def test_gains_request(server, tracks):
+    host, port = server
+    body = encode_stems_wav(tracks)
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    conn.request("POST", "/gains", body=body, headers={"Content-Length": str(len(body))})
+    r = conn.getresponse()
+    assert r.status == 200
+    payload = json.loads(r.read())
+    assert set(payload["raw"]) == set(STEMS)
+    assert len(payload["raw"]["bass"]) == 4  # 5 chunks -> 4 gains
+
+
+def test_bad_request(server):
+    host, port = server
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("POST", "/mix", body=b"garbage", headers={"Content-Length": "7"})
+    r = conn.getresponse()
+    assert r.status == 400

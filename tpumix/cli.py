@@ -13,6 +13,7 @@ those workflows are commands here:
     python -m tpumix listening-prep export MUSHRA listening-test wavs
     python -m tpumix listening-parse parse webMUSHRA scores -> boxplot
     python -m tpumix bench          throughput benchmark (one JSON line)
+    python -m tpumix serve          HTTP mixing service
 """
 
 from __future__ import annotations
@@ -220,6 +221,19 @@ def cmd_listening_parse(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from tpumix.serve import serve
+
+    mixer = _load_mixer(args)
+    httpd = serve(mixer, host=args.host, port=args.port, model_name=args.model)
+    print(f"[serve] {args.model} on http://{args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root (driver contract), not in the package
     import importlib.util
@@ -309,6 +323,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="throughput benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("serve", help="HTTP mixing service")
+    sp.add_argument("--model", default="scalar2s",
+                    choices=["scalar1s", "scalar2s", "resnet18"])
+    sp.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    sp.add_argument("--checkpoint", default="")
+    sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16"])
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_serve)
 
     return p
 

