@@ -145,3 +145,23 @@ class TestCLI:
         rc = main(["listening-parse", "--scores", scores, "--out", out])
         assert rc == 0
         assert os.path.exists(out)
+
+
+class TestCLITrain:
+    def test_train_command_end_to_end(self, tmp_path):
+        """Full CLI train on a tiny synthetic corpus (production shapes,
+        scalar1s, 1 epoch)."""
+        base = str(tmp_path / "data")
+        os.makedirs(base)
+        for i in range(2):
+            make_song(base, f"T{i}", 4.0, seed=i)
+        ckpt = str(tmp_path / "ckpts")
+        rc = main([
+            "train", "--data", base, "--model", "scalar1s", "--epochs", "1",
+            "--batch-size", "4", "--checkpoint-dir", ckpt, "--run-name", "cli_e2e",
+            "--augment",
+        ])
+        assert rc == 0
+        run_dir = os.path.join(ckpt, "cli_e2e")
+        assert os.path.exists(os.path.join(run_dir, "epoch_0000"))
+        assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
