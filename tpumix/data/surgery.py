@@ -19,7 +19,7 @@ data/medleydb_data_surgery.ipynb cells 4-10) with a library + CLI:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

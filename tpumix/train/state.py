@@ -21,7 +21,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional, Tuple
 
 import flax
@@ -29,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tpumix.config import FrontendConfig, TrainConfig
+from tpumix.config import FrontendConfig
 from tpumix.ops.gain import augment_audio
 from tpumix.ops.stft import spectrogram_features
 

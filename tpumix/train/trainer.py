@@ -29,8 +29,8 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from tpumix.config import FrontendConfig, TrainConfig
-from tpumix.data.prefetch import BatchIterator, prefetch_to_device
-from tpumix.parallel.mesh import data_parallel_jit, make_mesh, replicated, shard_batch
+from tpumix.data.prefetch import prefetch_to_device
+from tpumix.parallel.mesh import data_parallel_jit, replicated, shard_batch
 from tpumix.train.state import (
     TrainState,
     adam_with_l2,
