@@ -26,6 +26,11 @@ def _setup_compilation_cache() -> None:
     try:
         import jax
 
+        # a script may have overridden the platform to cpu (tests do) even
+        # though the env still says axon — never cache CPU AOT executables
+        # (they are machine-feature-sensitive)
+        if (jax.config.jax_platforms or "").startswith("cpu"):
+            return
         if jax.config.jax_compilation_cache_dir is None:
             cache = os.environ.get(
                 "TPUMIX_COMPILE_CACHE",
