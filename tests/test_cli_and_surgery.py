@@ -98,7 +98,7 @@ class TestSurgery:
 class TestCLI:
     def test_help_all_subcommands(self, capsys):
         for cmd in ["train", "mix", "evaluate", "mean-loudness", "precompute",
-                    "surgery", "listening-prep", "listening-parse", "bench"]:
+                    "surgery", "listening-prep", "listening-parse", "bench", "serve"]:
             with pytest.raises(SystemExit) as e:
                 main([cmd, "--help"])
             assert e.value.code == 0

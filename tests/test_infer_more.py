@@ -119,3 +119,25 @@ class TestDegenerateSongs:
         for t in STEMS:
             np.testing.assert_array_equal(mixed[t], tiny[t])  # unmodified
             assert raw[t] == [] and smooth[t] == []
+
+
+class TestMixSongRaw:
+    def test_raw_gains_piecewise(self, song):
+        """Legacy mix_song semantics: chunk 0 silent, chunk i scaled by the
+        raw (unsmoothed) gains of window i-1 (reference inference_utils.py:70-100)."""
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512)
+        mixer = SongMixer(model, variables, cfg)
+        mixed, history = mixer.mix_song_raw(song)
+        C = mixer.chunk_samples
+        assert mixed.shape == song["bass"].shape
+        assert np.all(mixed[:C] == 0)  # chunk 0 never mixed (reference loop from 1)
+        # chunk 1 equals the gain-weighted stem sum with window-0 gains
+        g0 = np.array([history[t][0] for t in STEMS], dtype=np.float32)
+        stems = np.stack([song[t] for t in STEMS])
+        expected = (g0[:, None] * stems[:, C : 2 * C]).sum(axis=0)
+        np.testing.assert_allclose(mixed[C : 2 * C], expected, rtol=1e-5, atol=1e-6)
+        assert all(len(history[t]) == len(song["bass"]) // C - 1 for t in STEMS)
