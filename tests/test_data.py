@@ -3,6 +3,7 @@ precompute cache, batching."""
 
 import importlib.util
 import os
+from struct import error as struct_error
 
 import numpy as np
 import pytest
@@ -336,3 +337,30 @@ class TestWavioRobustness:
         assert meta.format == "PCM_16"
         y, _ = wavio.read(p)
         np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_wavio_fuzz_truncations(tmp_path):
+    """The parser must never crash on arbitrarily truncated/corrupted files —
+    it either parses (clamping) or raises ValueError."""
+    rng = np.random.default_rng(0)
+    x = (0.2 * rng.standard_normal((500, 2))).astype(np.float32)
+    p0 = str(tmp_path / "base.wav")
+    wavio.write(p0, x, SR, subtype="PCM_16")
+    raw = open(p0, "rb").read()
+    for seed in range(40):
+        r = np.random.default_rng(seed)
+        cut = int(r.integers(0, len(raw)))
+        mutated = bytearray(raw[:cut] if r.random() < 0.7 else raw)
+        if len(mutated) > 12 and r.random() < 0.5:
+            # flip a few random bytes
+            for _ in range(3):
+                mutated[int(r.integers(0, len(mutated)))] = int(r.integers(0, 256))
+        p = str(tmp_path / f"fuzz_{seed}.wav")
+        open(p, "wb").write(bytes(mutated))
+        try:
+            meta = wavio.info(p)
+            assert meta.frames >= 0
+            y, _ = wavio.read(p)
+            assert y.shape[0] == meta.frames
+        except (ValueError, struct_error):
+            pass
