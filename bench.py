@@ -70,7 +70,14 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     from tpumix.infer.mixer import SongMixer, STEMS
 
     cfg = preset("scalar2s")
-    mixer = SongMixer(model, variables, cfg, transfer_dtype="int16")
+    transfer = os.environ.get("BENCH_TRANSFER", "int16")
+    mixer = SongMixer(model, variables, cfg, transfer_dtype=transfer)
+    print(
+        f"[bench detail] frontend implementation = "
+        f"{mixer.frontend.resolved_implementation()!r} "
+        f"(backend {jax.default_backend()!r}), transfer = {transfer!r}",
+        file=sys.stderr,
+    )
     dur = len(song["bass"]) / 44100.0
     songs = [song] + [
         make_song(dur, seed=100 + k) for k in range(n_songs - 1)
@@ -85,32 +92,45 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "240"))
     started = time.perf_counter()
     for rep in range(reps):
+        # the axon runtime memoizes identical executions — every rep must see
+        # different bytes.  np.roll changes content at negligible host cost
+        # while keeping the audio statistics identical.
+        rep_songs = [
+            {k: np.roll(v, 9973 * (rep * len(songs) + j) + 1) for k, v in s.items()}
+            for j, s in enumerate(songs)
+        ]
         tic = time.perf_counter()
-        mixer.mix_songs_smooth(songs)
+        mixer.mix_songs_smooth(rep_songs)
         best = min(best, (time.perf_counter() - tic) / n_songs)
         if rep >= 1 and time.perf_counter() - started > budget:
             break
 
-    # device-compute-only rate (data resident), for the bandwidth-wall record
+    # device-compute-only rate (data resident), for the bandwidth-wall record:
+    # warm-up and every timed call each use a DIFFERENT device-resident buffer
+    # (runtime memoization would otherwise fake the number)
     import jax.numpy as jnp
 
     stems = np.stack([song[t] for t in STEMS])
     seg = 64
     C = mixer.chunk_samples
-    flat = np.zeros((4, seg * C), dtype=np.float32)
-    flat[:, : seg * C] = stems[:, : seg * C]
-    x = jax.device_put(jnp.asarray(flat))
-    np.asarray(mixer._gains_fn(x, seg))  # force (block_until_ready is
-    tic = time.perf_counter()            # unreliable through the tunnel)
-    np.asarray(mixer._gains_fn(x, seg))
-    resident = (seg * cfg.chunk_length_s) / (time.perf_counter() - tic)
+    need = seg * C
+    base = np.tile(stems, (1, -(-need // stems.shape[1])))[:, :need].astype(np.float32)
+    bufs = []
+    for k in range(4):
+        bufs.append(jax.device_put(jnp.asarray(np.roll(base, 7919 * k + 1, axis=1))))
+    np.asarray(mixer._gains_fn(bufs[0], seg))  # warm-up; host transfer is the
+    resident = 0.0                             # only trustworthy fence here
+    for x in bufs[1:]:
+        tic = time.perf_counter()
+        np.asarray(mixer._gains_fn(x, seg))
+        resident = max(resident, (seg * cfg.chunk_length_s) / (time.perf_counter() - tic))
     print(
         f"[bench detail] end-to-end {dur / best:.1f} audio-s/s; "
         f"device-resident compute {resident:.0f} audio-s/s "
         f"(host->device link is the binding constraint in this environment)",
         file=sys.stderr,
     )
-    return dur / best
+    return dur / best, resident
 
 
 def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
@@ -148,14 +168,22 @@ def main() -> None:
     )
 
     song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
-    tpu_rate = bench_tpu(model, variables, song)
+    tpu_rate, resident_rate = bench_tpu(model, variables, song)
     cpu_rate = bench_cpu_reference(model, variables)
 
+    # `value` is honest end-to-end wall-clock through this environment's
+    # ~40 MB/s host->device tunnel (the binding constraint; see docs/PERF.md);
+    # `device_resident` is the same program with data already on-chip — the
+    # number that reflects the chip and survives to production deployments
+    # where stems live in device-adjacent storage.
     result = {
         "metric": "audio_seconds_mixed_per_sec_per_chip",
         "value": round(tpu_rate, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "device_resident": round(resident_rate, 2),
+        "vs_baseline_resident": round(resident_rate / cpu_rate, 2),
+        "baseline_cpu_rate": round(cpu_rate, 2),
     }
     print(json.dumps(result))
 

@@ -123,8 +123,9 @@ class TestDegenerateSongs:
 
 class TestMixSongRaw:
     def test_raw_gains_piecewise(self, song):
-        """Legacy mix_song semantics: chunk 0 silent, chunk i scaled by the
-        raw (unsmoothed) gains of window i-1 (reference inference_utils.py:70-100)."""
+        """Legacy mix_song semantics (reference inference_utils.py:71-100):
+        window w's raw gains scale window w itself; the LAST chunk is never
+        written (the reference loop covers windows 0..num_chunks-2)."""
         model = MixingModelScalar2s()
         variables = model.init(
             jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
@@ -133,11 +134,43 @@ class TestMixSongRaw:
         mixer = SongMixer(model, variables, cfg)
         mixed, history = mixer.mix_song_raw(song)
         C = mixer.chunk_samples
+        num_chunks = len(song["bass"]) // C
         assert mixed.shape == song["bass"].shape
-        assert np.all(mixed[:C] == 0)  # chunk 0 never mixed (reference loop from 1)
-        # chunk 1 equals the gain-weighted stem sum with window-0 gains
+        # final chunk never mixed (reference writes windows 0..num_chunks-2)
+        assert np.all(mixed[(num_chunks - 1) * C :] == 0)
+        # window 0 equals the gain-weighted stem sum with window-0 gains
         g0 = np.array([history[t][0] for t in STEMS], dtype=np.float32)
         stems = np.stack([song[t] for t in STEMS])
-        expected = (g0[:, None] * stems[:, C : 2 * C]).sum(axis=0)
-        np.testing.assert_allclose(mixed[C : 2 * C], expected, rtol=1e-5, atol=1e-6)
-        assert all(len(history[t]) == len(song["bass"]) // C - 1 for t in STEMS)
+        expected = (g0[:, None] * stems[:, :C]).sum(axis=0)
+        np.testing.assert_allclose(mixed[:C], expected, rtol=1e-5, atol=1e-6)
+        assert all(len(history[t]) == num_chunks - 1 for t in STEMS)
+
+
+class TestMulawTransfer:
+    def test_mulaw8_roundtrip_and_gain_deviation(self, song):
+        """The mu-law wire format is opt-in and lossy: (a) the device decode
+        exactly inverts the host LUT encode's representable levels; (b) the
+        gain deviation vs the float32 path is bounded (regression tripwire —
+        NOT the 1e-3 conformance budget, which only int16/float32 meet)."""
+        import jax.numpy as jnp
+
+        from tpumix.infer.mixer import _dequantize_on_device, _mulaw_lut
+
+        # (a) encode->decode->encode is a fixed point over all 65536 inputs
+        lut = _mulaw_lut()
+        decoded = np.asarray(_dequantize_on_device(jnp.asarray(lut)))
+        pcm = np.clip(np.rint(decoded * 32768.0), -32768, 32767).astype(np.int32)
+        np.testing.assert_array_equal(lut[pcm + 32768], lut)
+
+        # (b) gains deviate measurably but boundedly from the float32 path
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512)
+        stems = np.stack([song[t] for t in STEMS])
+        g_f32 = SongMixer(model, variables, cfg, transfer_dtype="float32").song_gains(stems)
+        g_mu = SongMixer(model, variables, cfg, transfer_dtype="mulaw8").song_gains(stems)
+        dev = np.abs(g_mu - g_f32)
+        assert dev.max() < 5.0  # dB-domain scalars; measured ~2 on random init
+        assert dev.mean() < 2.0

@@ -34,10 +34,23 @@ class FrontendConfig:
     db_multiplier: float = 20.0
     center: bool = True
     pad_mode: str = "reflect"
+    # "auto"    : "pallas" on TPU backends (when n_fft % hop == 0), else "fft"
     # "fft"     : jnp.fft.rfft based (XLA FFT)
     # "matmul"  : real-valued DFT as two matmuls against precomputed bases (MXU)
     # "pallas"  : fused Pallas framing+DFT+log-magnitude kernel (TPU only)
-    implementation: str = "fft"
+    implementation: str = "auto"
+
+    def resolved_implementation(self) -> str:
+        """Concrete implementation for the current default backend: the fused
+        Pallas kernel is the production default on TPU (conformance within
+        1e-5 dB of the FFT path, tests/test_pallas.py); XLA FFT elsewhere."""
+        if self.implementation != "auto":
+            return self.implementation
+        from tpumix.utils.backend import is_tpu_backend
+
+        if is_tpu_backend() and self.n_fft % self.hop_length == 0:
+            return "pallas"
+        return "fft"
 
     @property
     def num_bins(self) -> int:

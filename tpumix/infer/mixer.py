@@ -50,6 +50,31 @@ STEMS: Tuple[str, ...] = ("bass", "drums", "vocals", "other")
 SEGMENT_CHUNKS = 64  # chunks per compiled device call (one program, any song)
 
 
+@functools.lru_cache(maxsize=1)
+def _mulaw_lut() -> np.ndarray:
+    """PCM16 -> mu-law int8 encode table (mu=255, G.711-style companding).
+
+    Indexed by ``pcm + 32768``; built in float64 once.  Encoding through a
+    65536-entry LUT costs one fancy-index pass on the host — negligible next
+    to the transfer it halves.
+    """
+    x = np.arange(-32768, 32768, dtype=np.float64) / 32768.0
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log(256.0)
+    return np.clip(np.rint(y * 127.0), -127, 127).astype(np.int8)
+
+
+def _dequantize_on_device(x: jax.Array) -> jax.Array:
+    """Fused device-side decode of the wire format chosen by the host:
+    int16 = linear PCM; int8 = mu-law (mu=255); float32 passes through."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    if x.dtype == jnp.int8:
+        y = x.astype(jnp.float32) * (1.0 / 127.0)
+        # inverse companding: sign(y) * (256**|y| - 1) / 255
+        return jnp.sign(y) * (jnp.exp2(jnp.abs(y) * 8.0) - 1.0) * (1.0 / 255.0)
+    return x
+
+
 class SongMixer:
     """Batched full-song gain computation + reference-parity mixing."""
 
@@ -63,28 +88,40 @@ class SongMixer:
         chunk_axis: Optional[str] = None,
         transfer_dtype: str = "float32",
     ):
-        """``transfer_dtype="int16"`` ships waveforms to the device as 16-bit
-        PCM (half the host->device bytes; lossless w.r.t. 16-bit source
-        material — MUSDB18-HQ stems are PCM16) with dequantisation fused into
-        the device program."""
+        """``transfer_dtype`` picks the host->device wire format for the gain
+        computation (the mixed audio itself is always the original host
+        waveform scaled by the predicted gains — the wire format never touches
+        output fidelity):
+
+        * ``"float32"`` — raw samples.
+        * ``"int16"``   — 16-bit PCM, half the bytes; bit-lossless w.r.t.
+          16-bit source material (MUSDB18-HQ stems are PCM16).
+        * ``"mulaw8"``  — mu-law companded 8-bit (mu=255), quarter the bytes.
+          OPT-IN with a measurable gain deviation: the ~-40 dB quantisation
+          noise floor sits far above the frontend's amin (-100 dB), so quiet
+          spectrogram bins shift and predicted gains deviate from the float32
+          path (measured dB-domain deviation up to ~2 dB on random-init
+          weights — tests/test_infer_more.py::TestMulawTransfer pins the
+          bound).  Use only when the host->device link, not conformance, is
+          the binding constraint.
+
+        Dequantisation is fused into the device program in all cases."""
         self.model = model
         self.variables = variables
         self.model_cfg = model_cfg
         self.mix_cfg = mix_cfg or MixConfig(chunk_length_s=model_cfg.chunk_length_s)
         self.frontend = model_cfg.frontend()
-        # the fused Pallas frontend is the default on TPU (conformance within
-        # 1e-5 dB of the FFT path, tests/test_pallas.py); FFT elsewhere
-        import dataclasses as _dc
-
-        if (
-            self.frontend.implementation == "fft"
-            and jax.default_backend() in ("tpu",)
-            and self.frontend.n_fft % self.frontend.hop_length == 0
-        ):
-            self.frontend = _dc.replace(self.frontend, implementation="pallas")
+        # implementation="auto" resolves to the fused Pallas frontend on TPU
+        # backends (incl. axon) and XLA FFT elsewhere — single shared gate,
+        # FrontendConfig.resolved_implementation / utils.backend.is_tpu_backend
         self.chunk_samples = self.frontend.chunk_samples(model_cfg.chunk_length_s)
         self.mesh = mesh
         self.chunk_axis = chunk_axis
+        if transfer_dtype not in ("float32", "int16", "mulaw8"):
+            raise ValueError(
+                f"unknown transfer_dtype {transfer_dtype!r}; "
+                "expected 'float32', 'int16', or 'mulaw8'"
+            )
         self.transfer_dtype = transfer_dtype
 
         @functools.partial(jax.jit, static_argnames=("n_chunks",))
@@ -93,9 +130,7 @@ class SongMixer:
             gains.  Chunking/transposition happens ON DEVICE so the host
             transfer is one contiguous 2-D buffer (fast-path layout)."""
             num_stems = stems_flat.shape[0]
-            x = stems_flat
-            if x.dtype == jnp.int16:
-                x = x.astype(jnp.float32) * (1.0 / 32768.0)
+            x = _dequantize_on_device(stems_flat)
             x = x.reshape(num_stems, n_chunks, self.chunk_samples)
             x = jnp.transpose(x, (1, 0, 2))  # [N, S, C]
             if self.mesh is not None and self.chunk_axis is not None:
@@ -137,13 +172,24 @@ class SongMixer:
         # unconverted (the decode-free PCM16 fast path: wavio.read(dtype=
         # "int16") -> device dequantisation).
         int16_in = stems.dtype == np.int16
-        out_dtype = np.int16 if (self.transfer_dtype == "int16" or int16_in) else np.float32
+        if self.transfer_dtype == "mulaw8":
+            out_dtype = np.int8
+        elif self.transfer_dtype == "int16" or int16_in:
+            out_dtype = np.int16
+        else:
+            out_dtype = np.float32
         futures = []
         for lo in range(0, n_gains, seg):
             n = min(seg, n_gains - lo)
             flat = np.zeros((num_stems, seg * C), dtype=out_dtype)
             src = stems[:, lo * C : (lo + n) * C]
-            if out_dtype == np.int16 and not int16_in:
+            if out_dtype == np.int8:
+                if int16_in:
+                    pcm = src.astype(np.int32)
+                else:
+                    pcm = np.clip(np.rint(src * 32768.0), -32768, 32767).astype(np.int32)
+                flat[:, : n * C] = _mulaw_lut()[pcm + 32768]
+            elif out_dtype == np.int16 and not int16_in:
                 flat[:, : n * C] = np.clip(np.rint(src * 32768.0), -32768, 32767)
             else:
                 flat[:, : n * C] = src
@@ -243,9 +289,12 @@ class SongMixer:
         """Legacy raw-gain mixing (reference ``mix_song``,
         inference_utils.py:44-102 — chunk-piecewise UNsmoothed gains; the
         reference's own copy is stale/crashing, SURVEY.md §2.6): returns
-        ``(mixed_song [S], mask_history)`` where chunk ``i`` of the output is
-        the gain-weighted stem sum with that chunk's raw gains.  Chunk 0 is
-        left silent exactly like the reference loop (starts at chunk 1)."""
+        ``(mixed_song [S], mask_history)``.  Reference indexing: the loop body
+        for ``chunk_i in 1..num_chunks`` computes gains on window
+        ``[(chunk_i-1)C, chunk_i*C)`` and writes the gain-weighted stem sum to
+        that SAME window (inference_utils.py:71-100) — so windows
+        ``0..num_chunks-2`` are mixed with their own gains and the LAST chunk
+        stays silent."""
 
         def mono(x):
             x = np.asarray(x, dtype=np.float32)
@@ -259,9 +308,10 @@ class SongMixer:
         S = stem_mono.shape[1]
         mixed = np.zeros(S, dtype=np.float32)
         n = amp.shape[0]
-        # chunk i in [1, num_chunks): gains from window (i-1) applied to it
-        region = stem_mono[:, C : (n + 1) * C].reshape(len(STEMS), n, C)
-        mixed[C : (n + 1) * C] = np.einsum("snc,ns->nc", region, amp).reshape(-1)
+        # window w in [0, num_chunks-1): gains computed on window w scale that
+        # same window; the final chunk is never written (reference loop bound)
+        region = stem_mono[:, : n * C].reshape(len(STEMS), n, C)
+        mixed[: n * C] = np.einsum("snc,ns->nc", region, amp).reshape(-1)
         mask_history = {t: list(map(float, amp[:, i])) for i, t in enumerate(STEMS)}
         return mixed, mask_history
 

@@ -120,7 +120,15 @@ def _stft_mag_fft(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
 def _stft_mag_matmul(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
     frames = frame_signal(x, cfg.n_fft, cfg.hop_length, center=cfg.center, pad_mode=cfg.pad_mode)
     basis = dft_bases(cfg.n_fft)
-    ri = jnp.dot(frames, basis, preferred_element_type=jnp.float32)  # [..., frames, 2*bins]
+    # HIGHEST: f32-equivalent MXU passes — the default single bf16 pass loses
+    # ~8 mantissa bits, which in the dB epilogue blows up to tens of dB of
+    # error in quiet bins (measured 62 dB max on real TPU)
+    ri = jnp.dot(
+        frames,
+        basis,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [..., frames, 2*bins]
     bins = cfg.num_bins
     re, im = ri[..., :bins], ri[..., bins:]
     return jnp.sqrt(re * re + im * im)
@@ -129,9 +137,10 @@ def _stft_mag_matmul(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
 def stft_magnitude(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> jax.Array:
     """Magnitude spectrogram ``[..., frames, bins]`` (time-major internal layout)."""
     cfg = cfg or FrontendConfig()
-    if cfg.implementation == "matmul":
+    impl = cfg.resolved_implementation()
+    if impl == "matmul":
         return _stft_mag_matmul(x, cfg)
-    if cfg.implementation == "pallas":
+    if impl == "pallas":
         from tpumix.ops.stft_pallas import stft_magnitude_pallas
 
         return stft_magnitude_pallas(x, cfg)
@@ -145,7 +154,7 @@ def spectrogram_features(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> 
     (reference data/dataset.py:162 returns [freq, frames]).
     """
     cfg = cfg or FrontendConfig()
-    if cfg.implementation == "pallas":
+    if cfg.resolved_implementation() == "pallas":
         from tpumix.ops.stft_pallas import stft_features_pallas_tm
 
         return jnp.swapaxes(stft_features_pallas_tm(x, cfg), -1, -2)
@@ -182,7 +191,7 @@ def spectrogram_features_tm(x: jax.Array, cfg: Optional[FrontendConfig] = None) 
     internal layout (frames on sublanes, bins on lanes) used by the batched
     mixer; avoids a transpose before NHWC convs."""
     cfg = cfg or FrontendConfig()
-    if cfg.implementation == "pallas":
+    if cfg.resolved_implementation() == "pallas":
         from tpumix.ops.stft_pallas import stft_features_pallas_tm
 
         return stft_features_pallas_tm(x, cfg)

@@ -133,7 +133,9 @@ def stft_features_pallas_tm(
 
     # interpreter mode off-TPU so the same code path is unit-testable on the
     # CPU simulation backend
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    from tpumix.utils.backend import is_tpu_backend
+
+    interpret = not is_tpu_backend()
 
     out = pl.pallas_call(
         kernel,

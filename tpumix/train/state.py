@@ -93,7 +93,7 @@ def make_train_step(
         """Differentiable frontend: the fused Pallas kernel forward with an
         XLA-derived backward when implementation="pallas" (the raw kernel has
         no autodiff rule), plain XLA path otherwise."""
-        if frontend.implementation == "pallas":
+        if frontend.resolved_implementation() == "pallas":
             import jax.numpy as jnp
 
             from tpumix.ops.stft_pallas import stft_features_tm_hybrid

@@ -78,18 +78,36 @@ def measure_throughput(
     audio_seconds: float,
     reps: int = 5,
     warmup: int = 1,
+    make_args: Callable[[int], tuple] = None,
 ) -> Dict[str, float]:
     """Best-of-``reps`` audio-seconds/sec for ``fn(*args)``.
 
     Each rep runs the function and forces its result to the host, so async
-    dispatch is fully accounted.  Returns ``{"seconds": best,
-    "audio_s_per_s": rate}``.
+    dispatch is fully accounted.  The axon runtime memoizes executions with
+    identical inputs, so each rep must see different bytes: pass
+    ``make_args(rep)`` to supply per-rep inputs; without it, every float
+    array argument is perturbed in-place-free by rolling one element per rep
+    (statistics-preserving, memoization-defeating).
+    Returns ``{"seconds": best, "audio_s_per_s": rate}``.
     """
-    for _ in range(warmup):
-        force(fn(*args))
+    import numpy as np
+
+    def _args_for(rep: int) -> tuple:
+        if make_args is not None:
+            return make_args(rep)
+        if rep == 0:
+            return args
+        return tuple(
+            np.roll(a, rep) if isinstance(a, np.ndarray) and a.dtype.kind == "f" else a
+            for a in args
+        )
+
+    for w in range(warmup):
+        force(fn(*_args_for(-1 - w)))
     best = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
+        a = _args_for(rep + 1)
         tic = time.perf_counter()
-        force(fn(*args))
+        force(fn(*a))
         best = min(best, time.perf_counter() - tic)
     return {"seconds": best, "audio_s_per_s": audio_seconds / best}
