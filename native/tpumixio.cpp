@@ -81,7 +81,13 @@ int parse_header(FILE* f, WavMeta* meta) {
   }
   if (fmt_code == 0 || channels == 0) return -5;
 
-  int32_t bpf = block_align ? block_align : channels * bits / 8;
+  // The decode loops stride sample_bytes(format) * channels per frame; a
+  // malformed block_align smaller than that would size the raw buffer short
+  // and overread the heap.  Reject any block_align that disagrees with the
+  // format-implied frame size (0 is tolerated: some writers omit it).
+  const int32_t implied_bpf = (int32_t)channels * (int32_t)(bits / 8);
+  if (block_align != 0 && (int32_t)block_align != implied_bpf) return -6;
+  int32_t bpf = implied_bpf;
   // clamp by true file size
   fseek(f, 0, SEEK_END);
   int64_t fsize = ftell(f);

@@ -94,6 +94,47 @@ class TestSurgery:
         expected = sum(stems_audio.values())
         np.testing.assert_allclose(total, expected, atol=1e-5)
 
+    def test_process_root_applies_manual_overrides(self, raw_medleydb_song, capsys):
+        """A song registered in MANUAL_OVERRIDES uses the hand-fixed buckets
+        instead of the (deliberately mis-bucketing) metadata sweep; songs on
+        the needs-review list warn (reference surgery notebook cells 11-12)."""
+        from tpumix.data import surgery
+
+        song_path, stems_audio = raw_medleydb_song
+        root = os.path.dirname(song_path)
+        name = os.path.basename(song_path)
+        # metadata says S01 is bass; the "engineer" knows it's actually drums
+        overrides = {name: {"drums": ["01", "02", "05"], "bass": [],
+                            "vocals": ["03"], "other": ["04"]}}
+        surgery.process_root(root, manual_overrides=overrides)
+        joined = os.path.join(song_path, f"{name}_STEMS_JOINED")
+        drums, _ = wavio.read(os.path.join(joined, f"{name}_STEM_DRUMS.wav"))
+        expected = stems_audio["S01"] + stems_audio["S02"] + stems_audio["S05"]
+        np.testing.assert_allclose(drums, expected, atol=1e-6)
+        bass, _ = wavio.read(os.path.join(joined, f"{name}_STEM_BASS.wav"))
+        np.testing.assert_allclose(bass, 0.0, atol=1e-7)  # empty bucket
+
+    def test_process_root_warns_on_unfixed_review_songs(self, raw_medleydb_song,
+                                                        monkeypatch, capsys):
+        from tpumix.data import surgery
+
+        song_path, _ = raw_medleydb_song
+        root = os.path.dirname(song_path)
+        name = os.path.basename(song_path)
+        monkeypatch.setattr(surgery, "NEEDS_MANUAL_REVIEW", (name,))
+        surgery.process_root(root, manual_overrides={})
+        assert "WARNING" in capsys.readouterr().out
+
+    def test_reference_override_table_shape(self):
+        """The recorded reference fix (surgery notebook cell 12) is shipped."""
+        from tpumix.data.surgery import CATEGORIES, MANUAL_OVERRIDES
+
+        fix = MANUAL_OVERRIDES["TheSoSoGlos_Emergency"]
+        assert set(fix) == set(CATEGORIES)
+        assert fix["bass"] == ["01", "08"]
+        all_ids = sorted(i for ids in fix.values() for i in ids)
+        assert all_ids == [f"{i:02d}" for i in range(1, 11)]  # a partition
+
 
 class TestCLI:
     def test_help_all_subcommands(self, capsys):

@@ -201,13 +201,33 @@ class TestDataset:
     def test_augmentation_bounds(self, medley_dir):
         d0 = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3)
         d1 = MultitrackAudioDataset(medley_dir, chunk_length=1.0, seed=3, augment_data=True)
-        s0, _ = d0[0]
-        s1, _ = d1[0]
+        s0, m0 = d0[0]
+        s1, m1 = d1[0]
         for k in range(4):
             nz = np.abs(s0[k]) > 1e-6
             if nz.any():
                 g = (s1[k][nz] / s0[k][nz]).mean()
                 assert 0.6 - 1e-3 <= g <= 1.4 + 1e-3
+        # reference parity: the MIX track is augmented too (the reference's
+        # per-track loop covers 'mix', data/dataset.py:185-199)
+        nz = np.abs(m0) > 1e-6
+        gm = (m1[nz] / m0[nz]).mean()
+        assert 0.6 - 1e-3 <= gm <= 1.4 + 1e-3
+        assert np.allclose(m1[nz] / m0[nz], gm, atol=1e-4)  # one scalar gain
+
+    def test_normalize_option(self, medley_dir, tmp_path):
+        d = MultitrackAudioDataset(
+            medley_dir, chunk_length=1.0, seed=3, normalize=True,
+            cache_dir=str(tmp_path),
+        )
+        stems, mix = d[0]
+        for k in range(4):
+            if np.abs(stems[k]).max() > 0:
+                np.testing.assert_allclose(np.abs(stems[k]).max(), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(np.abs(mix).max(), 1.0, rtol=1e-5)
+        # normalised caches carry the _norm tag (reference cache suffix,
+        # data/dataset.py:253-263)
+        assert "_norm" in d._cache_path(d.songlist[0])
 
     def test_precompute_cache_roundtrip(self, medley_dir, tmp_path):
         cache = str(tmp_path / "cache")
@@ -280,6 +300,41 @@ def test_cached_feature_augmentation(medley_dir, tmp_path):
 
 
 class TestWavioRobustness:
+    def test_nan_inf_sanitised_on_pcm_write(self, tmp_path):
+        """NaN/Inf samples must not cast to INT_MIN full-scale noise
+        (VERDICT r1: RuntimeWarning 'invalid value encountered in cast')."""
+        import warnings
+
+        x = np.array([0.5, np.nan, -np.inf, np.inf, -0.25], dtype=np.float32)
+        for sub in ("PCM_16", "PCM_24", "PCM_32"):
+            p = str(tmp_path / f"nan_{sub}.wav")
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # any RuntimeWarning -> fail
+                wavio.write(p, x, 44100, subtype=sub)
+            y, _ = wavio.read(p)
+            np.testing.assert_allclose(y[1], 0.0, atol=1e-4)  # NaN -> silence
+            assert y[2] <= -0.999 and y[3] >= 0.999  # inf -> clipped full scale
+            np.testing.assert_allclose(y[0], 0.5, atol=1e-4)
+
+    def test_block_align_mismatch_rejected_by_native(self, tmp_path):
+        """A stereo PCM16 file claiming block_align=1 must not drive the
+        native reader into a heap overread (ADVICE r1): the native parser
+        rejects it and the numpy fallback decodes by format."""
+        import struct
+
+        from tpumix.data import _native
+
+        payload = np.arange(400, dtype="<i2").tobytes()
+        p = str(tmp_path / "evil.wav")
+        with open(p, "wb") as f:
+            f.write(b"RIFF"); f.write(struct.pack("<I", 36 + len(payload))); f.write(b"WAVE")
+            f.write(b"fmt "); f.write(struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100, 1, 16))
+            f.write(b"data"); f.write(struct.pack("<I", len(payload))); f.write(payload)
+        if _native.get_lib() is not None:
+            assert _native.info(p) is None
+        x, sr = wavio.read(p, always_2d=True)
+        assert x.shape == (200, 2) and sr == 44100
+
     def test_not_a_wav(self, tmp_path):
         p = str(tmp_path / "bad.wav")
         with open(p, "wb") as f:

@@ -11,6 +11,7 @@ import pytest
 import jax
 
 from tpumix.config import ModelConfig
+from tpumix.data import wavio
 from tpumix.eval.evaluator import LoudnessEvaluator
 from tpumix.eval import listening
 from tpumix.infer.mixer import SongMixer
@@ -92,6 +93,26 @@ class TestEvaluator:
         exported = os.listdir(str(tmp_path / "exp2"))
         assert any("reference" in f for f in exported)
         assert any("mix" in f for f in exported)
+
+    def test_drifted_track_lengths_aligned(self, mixer, tmp_path):
+        """Manual-mix wavs drifting a few hundred samples from the stems must
+        not crash or skew the sweep — the evaluator trims each track dict to
+        its shortest member (reference fixed this offline, experiments.ipynb
+        cell 57)."""
+        base = str(tmp_path / "drifted")
+        for sub in ("test", "manual_gain_mixes"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+            make_song(os.path.join(base, sub), "DriftSong", 6.0, layout="musdb18", seed=3)
+        # drift: truncate one manual stem by 300 samples and one test stem by 150
+        for sub, stem, cut in (("manual_gain_mixes", "vocals", 300), ("test", "drums", 150)):
+            p = os.path.join(base, sub, "DriftSong", f"{stem}.wav")
+            audio, sr = wavio.read(p)
+            wavio.write(p, audio[:-cut], sr)
+        mean_loudness = {t: -20.0 for t in ("bass", "drums", "vocals", "other")}
+        ev = LoudnessEvaluator(mixer, mean_loudness, seed=0, results_dir=str(tmp_path / "out"))
+        stats = ev.process_song(base, "DriftSong")
+        for k in ("sum_error", "loudnorm_error", "mix_error", "random_error"):
+            assert np.isfinite(stats[k])
 
     def test_identical_tracks_zero_error(self, mixer):
         mean_loudness = {t: -20.0 for t in ("bass", "drums", "vocals", "other")}

@@ -137,6 +137,21 @@ class TestMeshTraining:
         res = tr.fit(Loader(), Loader(), 0, 1)
         assert len(res.train_loss) == 1 and np.isfinite(res.train_loss[0])
 
+    def test_val_epoch_sharded_matches_unsharded(self, data, tmp_path):
+        """The mesh trainer's val pass (dp-sharded batches, annotated eval
+        step) computes the same loss as the single-device val pass."""
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, learning_rate=1e-3, seed=0,
+                          checkpoint_dir=str(tmp_path))
+        mesh = make_mesh((8,), ("dp",))
+        tr_mesh = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), mesh=mesh,
+                          run_name="val_mesh")
+        tr_solo = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="val_solo")
+        v_mesh = tr_mesh._run_val_epoch(list(data))
+        v_solo = tr_solo._run_val_epoch(list(data))
+        assert np.isfinite(v_mesh)
+        np.testing.assert_allclose(v_mesh, v_solo, rtol=1e-5)
+
     def test_dp_matches_single_device(self, data):
         """One DP step on the mesh == one step on a single device."""
         model = MixingModelScalar1s()

@@ -53,13 +53,9 @@ def _load_mixer(args):
     if args.checkpoint:
         import orbax.checkpoint as ocp
 
-        target = dict(params=variables["params"],
-                      batch_stats=variables.get("batch_stats", {}))
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.checkpoint),
-            dict(params=target["params"], batch_stats=target["batch_stats"],
-                 opt_state=None, step=None),
-        )
+        # restore the raw tree (trainer checkpoints carry opt_state/step too;
+        # a partial target with None placeholders fails structure matching)
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
         variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
     return SongMixer(model, variables, cfg, transfer_dtype=args.transfer_dtype)
 
@@ -83,15 +79,17 @@ def cmd_train(args) -> int:
         else (None, None, None)
     )
 
-    def make_ds(sl):
+    def make_ds(sl, augment):
         return MultitrackAudioDataset(
             args.data, songlist=sl, chunk_length=model_cfg.chunk_length_s,
             seed=args.seed, layout=args.layout, hop_length=model_cfg.hop_length,
-            augment_data=args.augment,
+            augment_data=augment,
         )
 
-    d_train = make_ds(train_songs)
-    d_val = make_ds(val_songs) if val_songs else d_train
+    d_train = make_ds(train_songs, args.augment)
+    # validation data is NEVER augmented (random val gains would bias the
+    # early-stopping signal; the reference never augments validation)
+    d_val = make_ds(val_songs if val_songs else train_songs, False)
 
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
@@ -118,6 +116,63 @@ def cmd_train(args) -> int:
         "best_epoch": result.best_epoch, "best_val_loss": result.best_val_loss,
         "stopped_early": result.stopped_early, "checkpoint_dir": trainer.ckpt_dir,
     }))
+    return 0
+
+
+def cmd_train_synth(args) -> int:
+    """Train on the on-device synthetic mixing task (zero host->device
+    transfer; tpumix/data/synthetic.py)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from tpumix.config import TrainConfig, preset
+    from tpumix.models.registry import build_model, example_feature_shape
+    from tpumix.parallel.mesh import make_mesh
+    from tpumix.train.trainer import SyntheticTrainer
+
+    model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype)
+    cfg = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
+        checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=args.augment,
+        early_stopping_patience=args.patience,
+        keep_checkpoints=args.keep_checkpoints,
+    )
+    mesh = None
+    if args.mesh:
+        n = int(args.mesh)
+        mesh = make_mesh((n,), ("dp",), devices=jax.devices()[:n])
+
+    model = build_model(model_cfg)
+    frontend = model_cfg.frontend()
+    trainer = SyntheticTrainer(
+        model, frontend, cfg, example_feature_shape(model_cfg),
+        chunk_samples=frontend.chunk_samples(model_cfg.chunk_length_s),
+        mesh=mesh, run_name=args.run_name,
+    )
+    start = trainer.resume() if args.resume else 0
+    result = trainer.fit(
+        args.steps_per_epoch, jax.random.key(args.seed + 7), start, args.epochs
+    )
+    print(json.dumps({
+        "best_epoch": result.best_epoch, "best_val_loss": result.best_val_loss,
+        "stopped_early": result.stopped_early, "checkpoint_dir": trainer.ckpt_dir,
+    }))
+    return 0
+
+
+def cmd_synth_data(args) -> int:
+    """Materialise a synthetic eval corpus (MUSDB18 layout) + songlist files."""
+    from tpumix.data.synthetic import write_synth_dataset
+
+    lists = write_synth_dataset(
+        args.out, n_train=args.n_train, n_test=args.n_test,
+        duration_s=args.duration, seed=args.seed,
+    )
+    for split, songs in lists.items():
+        with open(os.path.join(args.out, f"{split}_songlist.txt"), "w") as f:
+            f.write("\n".join(songs) + "\n")
+    print(json.dumps({"root": args.out, **{k: len(v) for k, v in lists.items()}}))
     return 0
 
 
@@ -249,6 +304,12 @@ def cmd_bench(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tpumix", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu') before first device "
+                        "use — env vars are too late in sessions whose "
+                        "sitecustomize preimports jax; combine with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "for a simulated N-device mesh")
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp, checkpoint=True):
@@ -263,7 +324,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="conv compute dtype (bfloat16: ~1.4x faster, "
                              "~0.01 dB gain deviation)")
         sp.add_argument("--seed", type=int, default=0)
-        sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16"])
+        sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "mulaw8"])
         if checkpoint:
             sp.add_argument("--checkpoint", default="", help="Orbax checkpoint dir")
 
@@ -280,6 +341,34 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--augment", action="store_true")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("train-synth", help="train on the on-device synthetic task")
+    sp.add_argument("--model", default="scalar2s",
+                    choices=["scalar1s", "scalar2s", "resnet18"])
+    sp.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--steps-per-epoch", type=int, default=50)
+    sp.add_argument("--batch-size", type=int, default=48)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--patience", type=int, default=10)
+    sp.add_argument("--keep-checkpoints", type=int, default=None)
+    sp.add_argument("--checkpoint-dir", default="./checkpoints")
+    sp.add_argument("--run-name", default=None)
+    sp.add_argument("--augment", action="store_true")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoint of this run")
+    sp.add_argument("--mesh", default="", help="data-parallel device count")
+    sp.set_defaults(fn=cmd_train_synth)
+
+    sp = sub.add_parser("synth-data", help="write a synthetic eval corpus")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-train", type=int, default=16)
+    sp.add_argument("--n-test", type=int, default=8)
+    sp.add_argument("--duration", type=float, default=30.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth_data)
 
     sp = sub.add_parser("mix", help="mix songs with a trained model")
     common(sp)
@@ -330,7 +419,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     sp.add_argument("--checkpoint", default="")
-    sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16"])
+    sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "mulaw8"])
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
     sp.set_defaults(fn=cmd_serve)
@@ -340,6 +429,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -135,9 +135,21 @@ class MultitrackAudioDataset:
         song = self.songlist[song_i]
         stems = np.stack([self._read_chunk(song, t, chunk_i) for t in STEMS])
         mix = self._read_chunk(song, "mix", chunk_i)
+        if self._normalize:
+            # peak-normalise each track chunk to [-1, 1].  The reference's own
+            # normalisation is commented out (data/dataset.py:160) and the
+            # flag only survives in its cache filenames; tpumix defines the
+            # semantics the reference docstring promises ("audio ...
+            # normalized to the range of [-1, 1]", data/dataset.py:33).
+            stems = stems / (np.max(np.abs(stems), axis=-1, keepdims=True) + 1e-12)
+            mix = mix / (np.max(np.abs(mix)) + 1e-12)
         if self._augment:
-            gains = self._rng.uniform(0.6, 1.4, size=len(STEMS)).astype(np.float32)
-            stems = stems * gains[:, None]
+            # ALL FIVE tracks get independent random gains — the mix included
+            # (reference data/dataset.py:185-199: the per-track loop covers
+            # 'mix', so the supervision target is augmented too)
+            gains = self._rng.uniform(0.6, 1.4, size=len(TRACKLIST)).astype(np.float32)
+            stems = stems * gains[: len(STEMS), None]
+            mix = mix * gains[len(STEMS)]
         return stems, mix
 
     def compute_features(self, audio: np.ndarray) -> np.ndarray:
@@ -175,6 +187,10 @@ class MultitrackAudioDataset:
 
     def _cache_path(self, song: str) -> str:
         tag = f"{self._chunk_length}s_h{self._frontend.hop_length}"
+        if self._normalize:
+            # normalised features live under a distinct cache name, like the
+            # reference's ``_norm`` filename suffix (data/dataset.py:253-263)
+            tag += "_norm"
         return os.path.join(self._cache_dir, f"{song}_FEATURES_{tag}.npz")
 
     def precompute_features(self) -> None:

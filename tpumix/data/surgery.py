@@ -37,6 +37,31 @@ VOCAL_INSTRUMENTS = frozenset({
 
 CATEGORIES = ("drums", "bass", "vocals", "other")
 
+# Per-song manual bucket fixes (reference medleydb_data_surgery.ipynb cell 12:
+# the author re-ran sum_stems with hand-picked stem ids after the metadata
+# sweep missed synthesizers playing bass parts).  The notebook preserves the
+# concrete assignment for one song; the markdown (cell 11) names four more
+# whose hand-fixes were not recorded — they are flagged for review instead.
+MANUAL_OVERRIDES: Dict[str, Dict[str, List[str]]] = {
+    "TheSoSoGlos_Emergency": {
+        "drums": ["03", "06"],
+        "bass": ["01", "08"],
+        "vocals": ["02", "05"],
+        "other": ["04", "07", "09", "10"],
+    },
+}
+
+# Songs the reference author hand-fixed (surgery notebook cell 11 markdown)
+# whose exact stem buckets were NOT recorded in the notebook: a metadata-only
+# sweep reproduces known-wrong buckets for these, so process_root warns.
+NEEDS_MANUAL_REVIEW = (
+    "Lushlife_ToynbeeSuite",
+    "TheSoSoGlos_Emergency",
+    "EthanHein_HarmonicaFigure",
+    "HeladoNegro_MitadDelMundo",
+    "MusicDelta_InTheHalloftheMountainKing",
+)
+
 
 def classify_instrument(instrument: str, component: str = "") -> str:
     if instrument in DRUM_INSTRUMENTS:
@@ -121,16 +146,30 @@ def process_song(song_path: str, sr: int = 44100,
     return groups
 
 
-def process_root(root_dir: str, sr: int = 44100, naive_sums: bool = False) -> List[str]:
-    """Sweep a MedleyDB root; returns the processed song names."""
+def process_root(root_dir: str, sr: int = 44100, naive_sums: bool = False,
+                 manual_overrides: Optional[Dict[str, Dict[str, List[str]]]] = None
+                 ) -> List[str]:
+    """Sweep a MedleyDB root; returns the processed song names.
+
+    Songs in ``manual_overrides`` (default: :data:`MANUAL_OVERRIDES`) use the
+    hand-fixed stem buckets instead of the metadata sweep; songs in
+    :data:`NEEDS_MANUAL_REVIEW` without an override emit a warning.
+    """
+    if manual_overrides is None:
+        manual_overrides = MANUAL_OVERRIDES
     done = []
     for song_name in sorted(os.listdir(root_dir)):
         song_path = os.path.join(root_dir, song_name)
         meta = os.path.join(song_path, f"{song_name}_METADATA.yaml")
         if not os.path.isfile(meta):
             continue
-        print(f"[surgery] {song_name}")
-        process_song(song_path, sr=sr)
+        override = manual_overrides.get(song_name)
+        if override is None and song_name in NEEDS_MANUAL_REVIEW:
+            print(f"[surgery] WARNING: {song_name} is known to need manual "
+                  "bucket fixes (reference surgery notebook cell 11) but no "
+                  "override is registered — metadata buckets may be wrong")
+        print(f"[surgery] {song_name}" + (" (manual override)" if override else ""))
+        process_song(song_path, sr=sr, overrides=override)
         if naive_sums:
             write_naive_sum(song_path, sr=sr)
         done.append(song_name)

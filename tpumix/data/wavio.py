@@ -195,6 +195,11 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: str = "FLOAT") 
         data = data[:, None]
     frames, channels = data.shape
 
+    if subtype != "FLOAT" and not np.all(np.isfinite(data)):
+        # NaN passes straight through np.clip and the int cast turns it into
+        # INT_MIN full-scale noise; sanitise to silence / clipped full scale
+        data = np.nan_to_num(data, nan=0.0, posinf=1.0, neginf=-1.0)
+
     if subtype == "PCM_16":
         payload = np.clip(np.round(data * 32768.0), -32768, 32767).astype("<i2").tobytes()
         bits, code = 16, _WAVE_FORMAT_PCM
@@ -208,8 +213,10 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: str = "FLOAT") 
         payload = b.tobytes()
         bits, code = 24, _WAVE_FORMAT_PCM
     elif subtype == "PCM_32":
+        # float64 intermediate: float32 cannot represent 2147483647, so a
+        # full-scale +1.0 sample would clip to 2**31 and overflow the cast
         payload = (
-            np.clip(np.round(data * 2147483648.0), -2147483648, 2147483647)
+            np.clip(np.round(data.astype(np.float64) * 2147483648.0), -2147483648, 2147483647)
             .astype("<i4")
             .tobytes()
         )

@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from tpumix.data import wavio
-from tpumix.data.loaders import load_tracks_musdb18
+from tpumix.data.loaders import align_track_lengths, load_tracks_musdb18
 from tpumix.models.baselines import MeanLoudnessModel, RandomModel
 from tpumix.ops.loudness import integrated_loudness, normalize_loudness
 from tpumix.utils.xlsx import write_xlsx
@@ -103,16 +103,19 @@ class LoudnessEvaluator:
     ) -> Dict[str, object]:
         stats: Dict[str, object] = {"song_name": song_name}
 
-        ref_tracks = load_tracks_musdb18(
+        # manual gain mixes drift a few hundred samples from the stems in
+        # real MUSDB data; trim each track dict to its shortest member (the
+        # reference aligned these offline, experiments.ipynb cell 57)
+        ref_tracks = align_track_lengths(load_tracks_musdb18(
             os.path.join(base_dir, "manual_gain_mixes"), song_name, tracklist=STEMS, sr=self.sr
-        )
+        ))
         reference, _ = self._sum_and_evaluate(
             ref_tracks, None, song_name, "reference", write_wavs_to_disk
         )
 
-        tracks = load_tracks_musdb18(
+        tracks = align_track_lengths(load_tracks_musdb18(
             os.path.join(base_dir, "test"), song_name, tracklist=STEMS, sr=self.sr
-        )
+        ))
         _, stats["sum_error"] = self._sum_and_evaluate(
             tracks, reference, song_name, "sum", write_wavs_to_disk
         )

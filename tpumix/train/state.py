@@ -70,12 +70,18 @@ def make_train_step(
     frontend: FrontendConfig,
     tx: optax.GradientTransformation,
     augment: bool = False,
+    augment_mix: bool = True,
     mesh=None,
     dp_axis: Optional[str] = "dp",
     sp_axis: Optional[str] = None,
 ) -> Callable:
     """Build the fused waveform-in train step:
     ``(state, stems [B,4,S], mix [B,S], rng) -> (state, metrics)``.
+
+    ``augment_mix`` (default True = reference parity): when augmenting, the
+    ground-truth mix also receives an independent random gain, exactly like
+    the reference's per-track loop (data/dataset.py:185-199).  Set False to
+    keep the supervision target clean (a deliberate, documented deviation).
 
     With ``mesh``: features are annotated ``P(dp, None, None, sp)`` — batch
     data-parallel plus *sequence parallelism* over the STFT-frame axis; GSPMD
@@ -110,7 +116,14 @@ def make_train_step(
             mix = mix.astype(jnp.float32) * (1.0 / 32768.0)
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         if augment:
-            stems = augment_audio(stems, aug_rng)  # per (batch, stem) random gain
+            # the reference augments ALL FIVE tracks with independent random
+            # gains — the ground-truth mix included (reference
+            # data/dataset.py:185-199: the loop over self._tracklist covers
+            # 'mix'); per (batch, stem) gain for stems, per batch for the mix
+            aug_s, aug_m = jax.random.split(aug_rng)
+            stems = augment_audio(stems, aug_s)
+            if augment_mix:
+                mix = augment_audio(mix, aug_m)
 
         feats = _features(stems)  # [B, 4, F, T]
         gt = _features(mix)  # [B, F, T]

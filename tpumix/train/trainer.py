@@ -75,7 +75,23 @@ class Trainer:
         if mesh is not None:
             self.state = jax.device_put(self.state, replicated(mesh))
             self._train_step = data_parallel_jit(train_step, mesh)
-            self._eval_step = jax.jit(eval_step)
+
+            # the val pass gets the same mesh treatment as the train step —
+            # replicated params, dp-sharded batch (round 1 ran validation at
+            # 1-chip speed: the eval step was jitted with no annotations)
+            from tpumix.parallel.mesh import batch_sharding
+
+            rep = replicated(mesh)
+
+            def eval_annotated(state, stems, mix):
+                state = jax.lax.with_sharding_constraint(state, rep)
+                stems = jax.lax.with_sharding_constraint(
+                    stems, batch_sharding(mesh, stems.ndim)
+                )
+                mix = jax.lax.with_sharding_constraint(mix, batch_sharding(mesh, mix.ndim))
+                return eval_step(state, stems, mix)
+
+            self._eval_step = jax.jit(eval_annotated)
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_step)
@@ -193,11 +209,17 @@ class Trainer:
         return float(np.mean([np.asarray(l) for l in losses]))
 
     def _run_val_epoch(self, loader) -> float:
-        total, count = 0.0, 0
+        # device scalars accumulated and forced ONCE at epoch end, like the
+        # train epoch — a per-batch float() sync would serialise transfers
+        # against compute
+        losses = []
         for stems, mix in loader:
-            total += float(self._eval_step(self.state, jnp.asarray(stems), jnp.asarray(mix)))
-            count += 1
-        return total / max(count, 1)
+            if self.mesh is not None:
+                stems, mix = shard_batch((stems, mix), self.mesh)
+            losses.append(self._eval_step(self.state, jnp.asarray(stems), jnp.asarray(mix)))
+        if not losses:
+            return 0.0
+        return float(np.mean([np.asarray(l) for l in losses]))
 
     def fit(
         self,
@@ -268,3 +290,90 @@ class Trainer:
         fig.savefig(path, bbox_inches="tight")
         plt.close(fig)
         return path
+
+
+class SyntheticTrainer(Trainer):
+    """Trainer over the on-device synthetic mixing task
+    (tpumix/data/synthetic.py).
+
+    Batch *generation* is fused INTO the jitted train step — stems and the
+    engineer reference mix are drawn with ``jax.random`` on device, so the
+    training hot loop performs ZERO host->device transfers (the binding
+    constraint of this environment, and the reference's own bottleneck:
+    CPU-side STFT + per-batch PCIe transfer, SURVEY.md §3.1).
+
+    ``fit(steps_per_epoch, val_rng, ...)``: the train "loader" is an int
+    (device steps per epoch) and the val "loader" is a jax PRNG key seeding a
+    fixed set of held-out batches re-evaluated each epoch.  Everything else
+    (checkpointing, best-k scoring, early stopping, CSV metrics, resume) is
+    inherited.
+    """
+
+    def __init__(
+        self,
+        model,
+        frontend: FrontendConfig,
+        config: TrainConfig,
+        input_shape: Tuple[int, ...],
+        chunk_samples: int,
+        sr: int = 44100,
+        mesh=None,
+        run_name: Optional[str] = None,
+        val_batches: int = 4,
+    ):
+        super().__init__(model, frontend, config, input_shape, mesh=mesh, run_name=run_name)
+        from tpumix.data.synthetic import synth_chunk_batch
+
+        base_step = make_train_step(
+            model, frontend, self.tx, augment=config.augment,
+            mesh=mesh, dp_axis="dp" if mesh is not None else None,
+        )
+        eval_step = make_eval_step(model, frontend)
+        B = config.batch_size
+        self.val_batches = val_batches
+
+        def _constrain_batch(stems, mix):
+            if mesh is None:
+                return stems, mix
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stems = jax.lax.with_sharding_constraint(
+                stems, NamedSharding(mesh, P("dp", None, None))
+            )
+            mix = jax.lax.with_sharding_constraint(mix, NamedSharding(mesh, P("dp", None)))
+            return stems, mix
+
+        def fused(state, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            gen_rng, step_rng = jax.random.split(rng)
+            stems, mix = synth_chunk_batch(gen_rng, B, chunk_samples, sr)
+            stems, mix = _constrain_batch(stems, mix)
+            return base_step(state, stems, mix, step_rng)
+
+        def fused_eval(state, rng):
+            stems, mix = synth_chunk_batch(rng, B, chunk_samples, sr)
+            stems, mix = _constrain_batch(stems, mix)
+            return eval_step(state, stems, mix)
+
+        self._fused_step = jax.jit(fused, donate_argnums=(0,))
+        self._fused_eval = jax.jit(fused_eval)
+
+    def _run_train_epoch(self, steps, rng) -> float:
+        losses = []
+        steps = int(steps)
+        for i in range(steps):
+            # per-step uniqueness comes from fold_in(rng, state.step) inside
+            # the fused program; state.step strictly increases across epochs
+            self.state, metrics = self._fused_step(self.state, rng)
+            losses.append(metrics["loss"])
+            if (i + 1) % self.config.log_every_steps == 0:
+                print(f"  [{i + 1}/{steps}] loss: {float(metrics['loss']):.4f}", flush=True)
+        if not losses:
+            return 0.0
+        return float(np.mean([np.asarray(l) for l in losses]))
+
+    def _run_val_epoch(self, val_rng) -> float:
+        total = 0.0
+        for j in range(self.val_batches):
+            total += float(self._fused_eval(self.state, jax.random.fold_in(val_rng, j)))
+        return total / max(self.val_batches, 1)
