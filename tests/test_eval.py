@@ -114,6 +114,19 @@ class TestEvaluator:
         for k in ("sum_error", "loudnorm_error", "mix_error", "random_error"):
             assert np.isfinite(stats[k])
 
+    def test_device_meter_matches_host(self, musdb_root, mixer, tmp_path):
+        """The batched on-device BS.1770 path agrees with the host meter
+        within 0.1 LU on every per-system error of a full sweep."""
+        mean_loudness = {t: -20.0 for t in ("bass", "drums", "vocals", "other")}
+        host = LoudnessEvaluator(None, mean_loudness, seed=0,
+                                 results_dir=str(tmp_path / "h"))
+        dev = LoudnessEvaluator(None, mean_loudness, seed=0,
+                                results_dir=str(tmp_path / "d"), device_meter=True)
+        s_host = host.process_song(musdb_root, SONGS[0])
+        s_dev = dev.process_song(musdb_root, SONGS[0])
+        for k in ("sum_error", "loudnorm_error", "random_error"):
+            assert abs(s_host[k] - s_dev[k]) <= 0.1, (k, s_host[k], s_dev[k])
+
     def test_identical_tracks_zero_error(self, mixer):
         mean_loudness = {t: -20.0 for t in ("bass", "drums", "vocals", "other")}
         ev = LoudnessEvaluator(mixer, mean_loudness, results_dir="/tmp/_eval_t")

@@ -123,3 +123,44 @@ class TestBaselines:
             g = ratio[np.isfinite(ratio)][0]
             assert 0.5 <= g <= 1.5
             np.testing.assert_allclose(y, g * tracks[s], atol=1e-12)
+
+
+class TestBasicBlockTorchParity:
+    def test_stride2_even_extent_matches_torch(self):
+        """Explicit paddings reproduce torch's k3/s2/p1 window alignment on
+        EVEN spatial extents, where SAME padding would shift every window by
+        one sample (ADVICE r1; reference model_resnet.py:6-28)."""
+        import torch
+        import torch.nn as tnn
+
+        from tpumix.models.blocks import BasicBlock
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 10, 216, 4)).astype(np.float32)  # even extents
+
+        block = BasicBlock(features=8, strides=2)
+        variables = block.init(jax.random.key(0), jnp.asarray(x), train=False)
+        out_flax = np.asarray(block.apply(variables, jnp.asarray(x), train=False))
+
+        conv1 = tnn.Conv2d(4, 8, 3, stride=2, padding=1, bias=False)
+        conv2 = tnn.Conv2d(8, 8, 3, padding=1, bias=False)
+        short = tnn.Conv2d(4, 8, 1, stride=2, padding=0, bias=False)
+        with torch.no_grad():
+            # flax kernels are [kh, kw, cin, cout]; torch wants [cout, cin, kh, kw]
+            p = variables["params"]
+            conv1.weight.copy_(torch.from_numpy(
+                np.transpose(np.asarray(p["conv1"]["kernel"]), (3, 2, 0, 1))))
+            conv2.weight.copy_(torch.from_numpy(
+                np.transpose(np.asarray(p["conv2"]["kernel"]), (3, 2, 0, 1))))
+            short.weight.copy_(torch.from_numpy(
+                np.transpose(np.asarray(p["shortcut_conv"]["kernel"]), (3, 2, 0, 1))))
+            xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NHWC -> NCHW
+            # fresh BNs in eval mode are identity-up-to-eps on both sides
+            bn = lambda c: tnn.BatchNorm2d(c, eps=1e-5).eval()
+            out = tnn.functional.relu(bn(8)(conv1(xt)))
+            out = bn(8)(conv2(out))
+            out_t = tnn.functional.relu(out + bn(8)(short(xt))).numpy()
+
+        np.testing.assert_allclose(
+            out_flax, np.transpose(out_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
+        )

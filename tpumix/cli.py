@@ -95,7 +95,7 @@ def cmd_train(args) -> int:
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=False,
         early_stopping_patience=args.patience,
-        keep_checkpoints=args.keep_checkpoints,
+        keep_checkpoints=args.keep_checkpoints, loss=args.loss,
     )
     mesh = None
     if args.mesh:
@@ -136,7 +136,7 @@ def cmd_train_synth(args) -> int:
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=args.augment,
         early_stopping_patience=args.patience,
-        keep_checkpoints=args.keep_checkpoints,
+        keep_checkpoints=args.keep_checkpoints, loss=args.loss,
     )
     mesh = None
     if args.mesh:
@@ -205,7 +205,8 @@ def cmd_evaluate(args) -> int:
     mixer = _load_mixer(args)
     with open(args.mean_loudness) as f:
         mean_loudness = json.load(f)
-    ev = LoudnessEvaluator(mixer, mean_loudness, seed=args.seed, results_dir=args.out)
+    ev = LoudnessEvaluator(mixer, mean_loudness, seed=args.seed, results_dir=args.out,
+                           device_meter=args.device_meter)
     songs = _songlist(args)
     ev.process_songlist(args.data, songs, write_to_disk=args.export_wavs,
                         out_path=os.path.join(args.out, "stats.xlsx"))
@@ -318,7 +319,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--songlist", default="",
                         help="registry key (tpumix.data.songlists) or a text file")
         sp.add_argument("--model", default="scalar2s",
-                        choices=["scalar1s", "scalar2s", "resnet18"])
+                        choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
         sp.add_argument("--compute-dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="conv compute dtype (bfloat16: ~1.4x faster, "
@@ -339,12 +340,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
+    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip"],
+                    help="reference = dB-linear masked-sum MSE (parity); "
+                         "roundtrip = gains supervised through the inference map")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-synth", help="train on the on-device synthetic task")
     sp.add_argument("--model", default="scalar2s",
-                    choices=["scalar1s", "scalar2s", "resnet18"])
+                    choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     sp.add_argument("--seed", type=int, default=0)
@@ -357,6 +361,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
+    sp.add_argument("--loss", default="roundtrip", choices=["reference", "roundtrip"],
+                    help="roundtrip (default): gains supervised through the "
+                         "inference map — the dB-linear parity objective is "
+                         "blind to level targets on the synthetic family")
     sp.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint of this run")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
@@ -382,6 +390,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--mean-loudness", required=True, help="json from mean-loudness")
     sp.add_argument("--out", default="./experiment")
     sp.add_argument("--export-wavs", action="store_true")
+    sp.add_argument("--device-meter", action="store_true",
+                    help="batched on-device BS.1770 metering (<=0.1 LU vs host)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("mean-loudness", help="per-class mean LUFS scan")
@@ -415,7 +425,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("serve", help="HTTP mixing service")
     sp.add_argument("--model", default="scalar2s",
-                    choices=["scalar1s", "scalar2s", "resnet18"])
+                    choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     sp.add_argument("--checkpoint", default="")

@@ -108,6 +108,8 @@ def preset(name: str) -> ModelConfig:
     presets = {
         "scalar1s": ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512),
         "scalar2s": ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512),
+        # tpumix extension: Scalar2s trunk + level-aware gain heads
+        "scalar2sL": ModelConfig(name="scalar2sL", chunk_length_s=2.0, hop_length=512),
         "resnet18": ModelConfig(name="resnet18", chunk_length_s=5.0, hop_length=1024),
     }
     if name not in presets:
@@ -130,6 +132,11 @@ class TrainConfig:
     seed: int = 0
     log_every_steps: int = 30  # ignite iteration logging cadence (cell 14)
     augment: bool = False
+    # "reference": dB-linear masked-sum MSE (parity, model_trainer.py:25-44)
+    # "roundtrip": gains supervised through the reference inference map
+    #              10**(0.5 g) in the amplitude domain (tpumix extension —
+    #              see tpumix.train.state._roundtrip_masked_db)
+    loss: str = "reference"
     # "int16": ship waveform batches as 16-bit PCM with on-device
     # dequantisation — half the host->device bytes, lossless for 16-bit
     # source material (MUSDB18-HQ / MedleyDB stems)

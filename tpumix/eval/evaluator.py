@@ -49,12 +49,29 @@ class LoudnessEvaluator:
         sr: int = 44100,
         seed: Optional[int] = None,
         results_dir: str = "./experiment",
+        device_meter: bool = False,
     ):
+        """``device_meter=True`` runs the BS.1770 metering on device via
+        :func:`tpumix.ops.loudness.integrated_loudness_jax` — all four stems
+        of a song meter in ONE batched XLA call (FFT-convolution K-weighting,
+        cumsum block energies) instead of four sequential host IIR passes.
+        Conformance vs the host meter is <=0.1 LU (tests/test_eval.py)."""
         self.sr = sr
         self.mixer = mixer  # tpumix.infer.mixer.SongMixer (or None to skip 'mix')
         self.mean_loudness_model = MeanLoudnessModel(mean_loudness, sr=sr)
         self.random_model = RandomModel(rng=np.random.default_rng(seed))
         self.results_dir = results_dir
+        self.device_meter = device_meter
+        if device_meter:
+            import functools
+
+            import jax
+
+            from tpumix.ops.loudness import integrated_loudness_jax
+
+            self._meter_fn = jax.jit(
+                functools.partial(integrated_loudness_jax, fs=float(sr))
+            )
         os.makedirs(results_dir, exist_ok=True)
 
     # --- metric --------------------------------------------------------------
@@ -62,7 +79,15 @@ class LoudnessEvaluator:
     def evaluate_loudness(self, tracks: Dict[str, np.ndarray]) -> List[float]:
         """Per-stem loudness, centred on the mean stem loudness
         (reference evaluate_loudness, evaluation.py:39-46)."""
-        per_track = [integrated_loudness(np.asarray(tracks[t]).T, self.sr) for t in STEMS]
+        if self.device_meter:
+            batch = np.stack(
+                [np.atleast_2d(np.asarray(tracks[t], dtype=np.float32)) for t in STEMS]
+            )  # [4, channels, samples]
+            per_track = [float(v) for v in np.asarray(self._meter_fn(batch))]
+        else:
+            per_track = [
+                integrated_loudness(np.asarray(tracks[t]).T, self.sr) for t in STEMS
+            ]
         avg = float(np.mean(per_track))
         return [l - avg for l in per_track]
 

@@ -1,6 +1,7 @@
 from tpumix.models.scalar import (  # noqa: F401
     MixingModelScalar1s,
     MixingModelScalar2s,
+    MixingModelScalar2sL,
     gains_as_tuple,
 )
 from tpumix.models.resnet import GainResNet, ResNet18  # noqa: F401

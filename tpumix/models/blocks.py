@@ -85,10 +85,15 @@ class ScalarHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, extra: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``extra [B, K]`` (optional): side features concatenated after the
+        flatten, ahead of the Dense — used by the tpumix level-aware model
+        variants (no effect on reference-parity models, which pass None)."""
         h = nn.Conv(features=1, kernel_size=(1, 1), dtype=self.dtype, name="conv")(x)
         h = nn.relu(h)
         h = h.reshape((h.shape[0], -1))
+        if extra is not None:
+            h = jnp.concatenate([h, extra.astype(h.dtype)], axis=-1)
         return nn.Dense(features=1, dtype=self.dtype, name="fc")(h)  # [B, 1]
 
 
@@ -96,8 +101,13 @@ class BasicBlock(nn.Module):
     """CIFAR-style residual block (reference model_resnet.py:6-28).
 
     conv3x3(stride)->bn->relu->conv3x3->bn (+ 1x1 projection shortcut when
-    shape changes) -> relu.  SAME padding reproduces torch's k3/p1 and k1/p0
-    stride-2 output shapes for both parities of the input extent.
+    shape changes) -> relu.  Paddings are EXPLICIT, not SAME: for stride-2
+    convs on even spatial extents XLA's SAME pads (0, 1) while torch's
+    k3/s2/p1 pads (1, 1), which shifts every window by one sample — the
+    shapes match but activations diverge from the torch reference.  Explicit
+    ((1, 1), (1, 1)) for k3 and ((0, 0), (0, 0)) for the k1 shortcut
+    reproduce torch's window alignment exactly (numerics parity, not just
+    shape parity).
     """
 
     features: int
@@ -119,11 +129,11 @@ class BasicBlock(nn.Module):
 
         out = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding="SAME", use_bias=False, dtype=self.dtype, name="conv1",
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(
-            self.features, (3, 3), padding="SAME", use_bias=False,
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             dtype=self.dtype, name="conv2",
         )(out)
         out = bn("bn2")(out)
@@ -132,7 +142,8 @@ class BasicBlock(nn.Module):
         if self.strides != 1 or x.shape[-1] != self.features:
             shortcut = nn.Conv(
                 self.features, (1, 1), strides=(self.strides, self.strides),
-                padding="SAME", use_bias=False, dtype=self.dtype, name="shortcut_conv",
+                padding=((0, 0), (0, 0)), use_bias=False, dtype=self.dtype,
+                name="shortcut_conv",
             )(x)
             shortcut = bn("shortcut_bn")(shortcut)
 
@@ -166,7 +177,7 @@ class Bottleneck(nn.Module):
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding="SAME", use_bias=False, dtype=self.dtype, name="conv2",
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
         out = nn.relu(bn("bn2")(out))
         out = nn.Conv(wide, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
@@ -176,7 +187,8 @@ class Bottleneck(nn.Module):
         if self.strides != 1 or x.shape[-1] != wide:
             shortcut = nn.Conv(
                 wide, (1, 1), strides=(self.strides, self.strides),
-                padding="SAME", use_bias=False, dtype=self.dtype, name="shortcut_conv",
+                padding=((0, 0), (0, 0)), use_bias=False, dtype=self.dtype,
+                name="shortcut_conv",
             )(x)
             shortcut = bn("shortcut_bn")(shortcut)
 

@@ -13,7 +13,11 @@ import jax.numpy as jnp
 
 from tpumix.config import ModelConfig
 from tpumix.models.resnet import GainResNet
-from tpumix.models.scalar import MixingModelScalar1s, MixingModelScalar2s
+from tpumix.models.scalar import (
+    MixingModelScalar1s,
+    MixingModelScalar2s,
+    MixingModelScalar2sL,
+)
 
 
 def build_model(cfg: ModelConfig):
@@ -21,6 +25,7 @@ def build_model(cfg: ModelConfig):
     builders = {
         "scalar1s": lambda: MixingModelScalar1s(dtype=dtype),
         "scalar2s": lambda: MixingModelScalar2s(dtype=dtype),
+        "scalar2sL": lambda: MixingModelScalar2sL(dtype=dtype),
         "resnet18": lambda: GainResNet(dtype=dtype),
     }
     if cfg.name not in builders:

@@ -39,9 +39,20 @@ def gains_as_tuple(gains: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
 
 
 class _ScalarModelBase(nn.Module):
-    """Common trunk + heads; subclasses pin block-1 dilation."""
+    """Common trunk + heads; subclasses pin block-1 dilation.
+
+    ``level_features=True`` (tpumix extension, NOT in the reference) feeds
+    each gain head the per-stem mean dB of the raw input spectrograms
+    alongside the conv features.  Mean dB shifts 1:1 with a stem's gain in
+    dB, i.e. it is exactly the sufficient statistic for loudness
+    rebalancing — which the BatchNorm-heavy conv trunk is empirically bad at
+    extracting (measured: reference-architecture models trained on the
+    synthetic task collapse to near-constant gains; the level-aware variant
+    tracks per-song engineer gains).
+    """
 
     block1_dilation: int = 1
+    level_features: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -65,8 +76,16 @@ class _ScalarModelBase(nn.Module):
         h = block(64, 7, "conv_b4")(h, train=train)
         h = block(128, 9, "conv_b5", p=0.3)(h, train=train)
 
+        levels = None
+        if self.level_features:
+            # per-stem mean dB, scaled to O(1); shifts 1:1 with gain dB
+            levels = (jnp.mean(x, axis=(2, 3)) * (1.0 / 20.0)).astype(self.dtype)
+
         gains = jnp.concatenate(
-            [ScalarHead(dtype=self.dtype, name=f"head{i+1}")(h) for i in range(num_stems)],
+            [
+                ScalarHead(dtype=self.dtype, name=f"head{i+1}")(h, extra=levels)
+                for i in range(num_stems)
+            ],
             axis=-1,
         )  # [B, num_stems]
         gains = gains.astype(jnp.float32)
@@ -85,3 +104,15 @@ class MixingModelScalar2s(_ScalarModelBase):
     dilation=2 (reference model_scalar_2s.py:68)."""
 
     block1_dilation: int = 2
+
+
+class MixingModelScalar2sL(_ScalarModelBase):
+    """tpumix EXTENSION (no reference counterpart): the Scalar2s architecture
+    with level-aware gain heads (see ``_ScalarModelBase.level_features``).
+    This is the shipped trained-checkpoint model: on the synthetic mixing
+    task it learns the engineer's per-stem loudness targets including the
+    content-dependent rides, where the reference-parity architecture
+    collapses to near-constant gains."""
+
+    block1_dilation: int = 2
+    level_features: bool = True

@@ -65,6 +65,22 @@ def create_train_state(
     )
 
 
+def _roundtrip_masked_db(feats_db, gains, amin: float):
+    """Amplitude-consistent predicted mix spectrogram: the predicted scalar
+    gains pass through the REFERENCE INFERENCE MAP ``10**(0.5*g)``
+    (inference_utils.py:129), scale the stems' *amplitude* spectrograms, sum,
+    and return to dB.  Unlike the reference's linear-in-dB combination
+    (model_scalar_1s.py:269-273), this makes training supervise exactly the
+    quantity inference applies — with correct gains the residual collapses to
+    the DummyModel floor (reference experiments.ipynb: 0.0035 with the
+    dB<->amp round-trip vs 0.0786 without)."""
+    ln10 = 2.302585092994046
+    amp = 10.0 ** (0.5 * gains)  # [B, 4]
+    feats_amp = jnp.exp(feats_db * (ln10 / 20.0))  # true dB->amplitude inverse
+    mix_amp = jnp.einsum("bsft,bs->bft", feats_amp, amp)
+    return (20.0 / ln10) * jnp.log(jnp.maximum(mix_amp, amin))
+
+
 def make_train_step(
     model,
     frontend: FrontendConfig,
@@ -74,6 +90,7 @@ def make_train_step(
     mesh=None,
     dp_axis: Optional[str] = "dp",
     sp_axis: Optional[str] = None,
+    loss: str = "reference",
 ) -> Callable:
     """Build the fused waveform-in train step:
     ``(state, stems [B,4,S], mix [B,S], rng) -> (state, metrics)``.
@@ -82,6 +99,16 @@ def make_train_step(
     ground-truth mix also receives an independent random gain, exactly like
     the reference's per-track loop (data/dataset.py:185-199).  Set False to
     keep the supervision target clean (a deliberate, documented deviation).
+
+    ``loss``:
+    * ``"reference"`` (default, parity) — MSE between the model's dB-linear
+      masked sum and the mix spectrogram (reference model_trainer.py:25-44).
+    * ``"roundtrip"`` — MSE between :func:`_roundtrip_masked_db` and the mix
+      spectrogram: supervises the gains through the reference inference map,
+      so predicted gains are directly the mixing gains.  The dB-linear
+      objective is blind to per-stem level targets on some signal families
+      (its per-song optimum barely moves with the true gains — measured on
+      the synthetic task); the round-trip objective is not.
 
     With ``mesh``: features are annotated ``P(dp, None, None, sp)`` — batch
     data-parallel plus *sequence parallelism* over the STFT-frame axis; GSPMD
@@ -138,22 +165,24 @@ def make_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": drop_rng},
             )
-            loss = jnp.mean(jnp.square(masked - gt))
-            return loss, (mutated["batch_stats"], gains)
+            if loss == "roundtrip":
+                masked = _roundtrip_masked_db(feats, gains, frontend.amin)
+            value = jnp.mean(jnp.square(masked - gt))
+            return value, (mutated["batch_stats"], gains)
 
-        (loss, (new_bs, gains)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss_val, (new_bs, gains)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
-        metrics = {"loss": loss, "mean_gain": jnp.mean(gains)}
+        metrics = {"loss": loss_val, "mean_gain": jnp.mean(gains)}
         return new_state, metrics
 
     return step
 
 
-def make_eval_step(model, frontend: FrontendConfig) -> Callable:
+def make_eval_step(model, frontend: FrontendConfig, loss: str = "reference") -> Callable:
     """Fused eval step: ``(state, stems, mix) -> loss`` with running BN stats
     and no dropout (reference _validate_epoch, model_trainer.py:14-23)."""
 
@@ -163,6 +192,8 @@ def make_eval_step(model, frontend: FrontendConfig) -> Callable:
         masked, gains = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, feats, train=False
         )
+        if loss == "roundtrip":
+            masked = _roundtrip_masked_db(feats, gains, frontend.amin)
         return jnp.mean(jnp.square(masked - gt))
 
     return step

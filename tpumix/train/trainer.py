@@ -70,8 +70,10 @@ class Trainer:
             model, jax.random.key(config.seed), input_shape, self.tx
         )
 
-        train_step = make_train_step(model, frontend, self.tx, augment=config.augment)
-        eval_step = make_eval_step(model, frontend)
+        train_step = make_train_step(
+            model, frontend, self.tx, augment=config.augment, loss=config.loss
+        )
+        eval_step = make_eval_step(model, frontend, loss=config.loss)
         if mesh is not None:
             self.state = jax.device_put(self.state, replicated(mesh))
             self._train_step = data_parallel_jit(train_step, mesh)
@@ -325,10 +327,10 @@ class SyntheticTrainer(Trainer):
         from tpumix.data.synthetic import synth_chunk_batch
 
         base_step = make_train_step(
-            model, frontend, self.tx, augment=config.augment,
+            model, frontend, self.tx, augment=config.augment, loss=config.loss,
             mesh=mesh, dp_axis="dp" if mesh is not None else None,
         )
-        eval_step = make_eval_step(model, frontend)
+        eval_step = make_eval_step(model, frontend, loss=config.loss)
         B = config.batch_size
         self.val_batches = val_batches
 
