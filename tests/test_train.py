@@ -356,3 +356,89 @@ class TestResume:
         cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path), seed=0)
         tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="fresh")
         assert tr.resume() == 0
+
+
+class TestGainSupervised:
+    """Label-supervised objective for generators that know the true gains
+    (tpumix.train.state.make_gain_train_step + SyntheticTrainer loss='gain')."""
+
+    def test_synth_labels_reconstruct_mix(self):
+        from tpumix.data.synthetic import synth_chunk_batch
+
+        stems, mix, g = synth_chunk_batch(jax.random.key(3), 4, 4096, sr=SR,
+                                          return_gains=True)
+        # the labels are exact: sum_i 10**(0.5 g_i) * stem_i == mix
+        amp = 10.0 ** (0.5 * np.asarray(g))
+        recon = np.einsum("bsn,bs->bn", np.asarray(stems), amp)
+        np.testing.assert_allclose(recon, np.asarray(mix), rtol=1e-4, atol=1e-5)
+
+    def test_gain_step_descends_to_labels(self):
+        from tpumix.train.state import make_gain_eval_step, make_gain_train_step
+
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_gain_train_step(model, FRONTEND, tx, mesh=None, dp_axis=None))
+        evl = jax.jit(make_gain_eval_step(model, FRONTEND))
+
+        rng = np.random.default_rng(0)
+        stems = rng.uniform(-0.3, 0.3, size=(8, 4, CHUNK)).astype(np.float32)
+        g_true = rng.uniform(-0.4, 0.4, size=(8, 4)).astype(np.float32)
+        first = None
+        for i in range(12):
+            state, metrics = step(state, jnp.asarray(stems), jnp.asarray(g_true),
+                                  jax.random.key(i))
+            if first is None:
+                first = float(metrics["loss"])
+            assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss"]) < first
+        # metric plumbing: gain_rmse_db == 10 * sqrt(mse)
+        np.testing.assert_allclose(
+            float(metrics["gain_rmse_db"]), 10.0 * np.sqrt(float(metrics["loss"])),
+            rtol=1e-5,
+        )
+        assert np.isfinite(float(evl(state, jnp.asarray(stems), jnp.asarray(g_true))))
+
+    def test_synthetic_trainer_gain_loss(self, tmp_path):
+        from tpumix.train.trainer import SyntheticTrainer
+
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=4, num_epochs=1, checkpoint_dir=str(tmp_path),
+                          seed=0, loss="gain")
+        tr = SyntheticTrainer(model, FRONTEND, cfg, (1, 4, 129, 47),
+                              chunk_samples=CHUNK, sr=SR, run_name="gain_t",
+                              val_batches=1)
+        res = tr.fit(2, jax.random.key(1), 0, 1)
+        assert np.isfinite(res.train_loss[0]) and np.isfinite(res.val_loss[0])
+
+    def test_synthetic_trainer_gain_loss_dp_mesh(self, tmp_path):
+        from tpumix.parallel.mesh import make_mesh
+        from tpumix.train.trainer import SyntheticTrainer
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device simulation mesh")
+        mesh = make_mesh((8,), ("dp",))
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path),
+                          seed=0, loss="gain")
+        tr = SyntheticTrainer(model, FRONTEND, cfg, (1, 4, 129, 47),
+                              chunk_samples=CHUNK, sr=SR, mesh=mesh,
+                              run_name="gain_dp", val_batches=1)
+        res = tr.fit(2, jax.random.key(1), 0, 1)
+        assert np.isfinite(res.train_loss[0]) and np.isfinite(res.val_loss[0])
+
+    def test_context_windows_keep_exact_labels(self):
+        from tpumix.data.synthetic import synth_chunk_batch
+
+        stems, mix, g = synth_chunk_batch(jax.random.key(5), 4, 2048, sr=SR,
+                                          return_gains=True, context_mult=4)
+        assert stems.shape == (4, 4, 2048) and mix.shape == (4, 2048)
+        # the engineer gain is context-global, so the window mix is still the
+        # exact gain-weighted window stem sum
+        amp = 10.0 ** (0.5 * np.asarray(g))
+        recon = np.einsum("bsn,bs->bn", np.asarray(stems), amp)
+        np.testing.assert_allclose(recon, np.asarray(mix), rtol=1e-4, atol=1e-5)
+        # window RMS fluctuates around the context level (distribution match):
+        # not every window sits exactly at its drawn RMS the way K=1 does
+        rms_db = 20 * np.log10(np.sqrt((np.asarray(stems) ** 2).mean(-1)))
+        assert np.std(rms_db) > 0.05

@@ -131,7 +131,8 @@ def cmd_train_synth(args) -> int:
     from tpumix.parallel.mesh import make_mesh
     from tpumix.train.trainer import SyntheticTrainer
 
-    model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype)
+    model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype,
+                            bn_momentum=args.bn_momentum, use_dropout=args.dropout)
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=args.augment,
@@ -148,7 +149,7 @@ def cmd_train_synth(args) -> int:
     trainer = SyntheticTrainer(
         model, frontend, cfg, example_feature_shape(model_cfg),
         chunk_samples=frontend.chunk_samples(model_cfg.chunk_length_s),
-        mesh=mesh, run_name=args.run_name,
+        mesh=mesh, run_name=args.run_name, context_mult=args.context_mult,
     )
     start = trainer.resume() if args.resume else 0
     result = trainer.fit(
@@ -347,10 +348,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-synth", help="train on the on-device synthetic task")
-    sp.add_argument("--model", default="scalar2s",
+    sp.add_argument("--model", default="scalar2sL",
                     choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    sp.add_argument("--bn-momentum", type=float, default=0.99,
+                    help="flax BN retained fraction (0.10 = reference torch "
+                         "parity; 0.99 default here for stable eval-mode "
+                         "running stats on short synthetic runs)")
+    sp.add_argument("--dropout", action="store_true",
+                    help="enable the reference's dropout (default OFF here: "
+                         "nothing to regularise on an infinite synthetic "
+                         "stream, and it miscalibrates BN running stats)")
+    sp.add_argument("--context-mult", type=int, default=4,
+                    help="generator context length in chunks; levels/labels "
+                         "are context-global, the model sees one random "
+                         "window (inference-distribution match)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--steps-per-epoch", type=int, default=50)
@@ -361,10 +374,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="roundtrip", choices=["reference", "roundtrip"],
-                    help="roundtrip (default): gains supervised through the "
-                         "inference map — the dB-linear parity objective is "
-                         "blind to level targets on the synthetic family")
+    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "gain"],
+                    help="gain (default): MSE against the generator's true "
+                         "gain labels — the only per-stem-identifiable "
+                         "objective on this family (spectrogram magnitudes of "
+                         "overlapping stems add incoherently, biasing the "
+                         "self-supervised optima several dB low); reference/"
+                         "roundtrip keep the label-free objectives")
     sp.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint of this run")
     sp.add_argument("--mesh", default="", help="data-parallel device count")

@@ -92,6 +92,17 @@ class ModelConfig:
     num_stems: int = 4
     dtype: str = "float32"  # parameter / activation dtype
     compute_dtype: str = "float32"  # conv compute dtype ("bfloat16" for MXU speed)
+    # flax BatchNorm retained fraction.  0.10 = torch BatchNorm2d(momentum=
+    # 0.90) parity (reference model_scalar_1s.py:151-190): running stats track
+    # the last batch almost exclusively, so eval-mode outputs are noisy on
+    # short runs.  Raise towards 0.99 for stable running statistics (the
+    # shipped synthetic-task checkpoint trains with 0.99).
+    bn_momentum: float = 0.10
+    # reference parity trains with dropout p=0.2/0.3.  False disables it —
+    # correct for infinite-stream (synthetic) training, where dropout's
+    # variance shift miscalibrates BN running stats with nothing to
+    # regularise in return
+    use_dropout: bool = True
 
     def frontend(self, base: Optional[FrontendConfig] = None) -> FrontendConfig:
         base = base or FrontendConfig()
@@ -136,6 +147,8 @@ class TrainConfig:
     # "roundtrip": gains supervised through the reference inference map
     #              10**(0.5 g) in the amplitude domain (tpumix extension —
     #              see tpumix.train.state._roundtrip_masked_db)
+    # "gain":      direct MSE on generator gain labels — SyntheticTrainer
+    #              only (tpumix.train.state.make_gain_train_step)
     loss: str = "reference"
     # "int16": ship waveform batches as 16-bit PCM with on-device
     # dequantisation — half the host->device bytes, lossless for 16-bit

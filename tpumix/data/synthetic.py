@@ -106,18 +106,47 @@ def _movavg(x, k: int):
     return (c[..., k:] - c[..., :-k]) / k
 
 
-def synth_chunk_batch(rng, batch: int, n: int, sr: int = 44100):
+def synth_chunk_batch(
+    rng,
+    batch: int,
+    n: int,
+    sr: int = 44100,
+    return_gains: bool = False,
+    context_mult: int = 1,
+):
     """Jittable synthetic training batch: ``(stems [B, 4, n], mix [B, n])``.
 
     Each item is an independent 4-stem "song chunk" with random presentation
     levels and the engineer's content-dependent reference mix.  All arrays are
     created on device — zero host->device transfer.
+
+    ``return_gains=True`` appends the generator's TRUE engineer gains in the
+    model-scalar domain (``g`` such that the reference inference map
+    ``10**(0.5*g)`` reproduces the engineer's amplitude gain, i.e.
+    ``g = gain_dB / 10``) — the label for ``loss="gain"`` supervision.  The
+    reference's self-supervised spectrogram objective has no analogue of this
+    (real corpora carry no gain labels); on the synthetic family it is the
+    identifiable objective (magnitude spectrograms of overlapping stems add
+    incoherently, so the dB-domain mix-MSE optimum is biased several dB below
+    the true gains — measured round 2).
+
+    ``context_mult=K>1`` matches the INFERENCE distribution: levels, labels
+    and the mix are defined over a K*n-sample context (the way a real song's
+    presentation level and the engineer's constant per-song gain are
+    song-global, tpumix/data/synthetic.py:make_synth_song), and the returned
+    arrays are a random n-sample window of that context.  Window-level RMS
+    then fluctuates around the context level exactly as full-song windows do,
+    so the model learns the conditional-mean gain given a window instead of
+    inverting each window's own RMS (trained at K=1, per-window predictions
+    track content modulation and full-song mixes wobble — measured round 2).
     """
     import jax
     import jax.numpy as jnp
 
-    k = jax.random.split(rng, 14)
+    k = jax.random.split(rng, 15)
     B = batch
+    n_win = n
+    n = n * max(int(context_mult), 1)
     t = jnp.arange(n, dtype=jnp.float32) / sr  # [n]
     two_pi = 2.0 * jnp.pi
 
@@ -169,6 +198,24 @@ def synth_chunk_batch(rng, batch: int, n: int, sr: int = 44100):
     targets = engineer_targets_db(u_db)  # [B, 4]
     gains = 10.0 ** ((targets - u_db) / 20.0)
     mix = jnp.sum(presented * gains[..., None], axis=1)  # [B, n]
+
+    if n_win < n:
+        # random n_win-sample window of the context, per item
+        off = jax.random.randint(k[12], (B,), 0, n - n_win + 1)
+        presented = jax.vmap(
+            lambda x, o: jax.lax.dynamic_slice_in_dim(x, o, n_win, axis=-1)
+        )(presented, off)
+        mix = jax.vmap(
+            lambda x, o: jax.lax.dynamic_slice_in_dim(x, o, n_win, axis=-1)
+        )(mix, off)
+
+    if return_gains:
+        g_scalar = (targets - u_db) / 10.0  # model-scalar domain, see docstring
+        return (
+            presented.astype(jnp.float32),
+            mix.astype(jnp.float32),
+            g_scalar.astype(jnp.float32),
+        )
     return presented.astype(jnp.float32), mix.astype(jnp.float32)
 
 

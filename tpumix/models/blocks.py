@@ -47,6 +47,12 @@ class ConvBlock2d(nn.Module):
     dropout_p: float = -1.0
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    # flax retained fraction; 0.10 = torch momentum 0.90 parity.  The parity
+    # value makes running stats track the LAST batch almost exclusively —
+    # fine for the reference's large-epoch regime, but eval-mode outputs get
+    # noisy on short runs; raise towards 0.99 for stable running statistics
+    # (ModelConfig.bn_momentum threads this through the registry).
+    bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -61,7 +67,7 @@ class ConvBlock2d(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=BN_MOMENTUM,
+            momentum=self.bn_momentum,
             epsilon=BN_EPS,
             axis_name=self.axis_name if train else None,
             dtype=self.dtype,

@@ -22,10 +22,12 @@ from tpumix.models.scalar import (
 
 def build_model(cfg: ModelConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    kw = dict(dtype=dtype, bn_momentum=cfg.bn_momentum, use_dropout=cfg.use_dropout)
     builders = {
-        "scalar1s": lambda: MixingModelScalar1s(dtype=dtype),
-        "scalar2s": lambda: MixingModelScalar2s(dtype=dtype),
-        "scalar2sL": lambda: MixingModelScalar2sL(dtype=dtype),
+        "scalar1s": lambda: MixingModelScalar1s(**kw),
+        "scalar2s": lambda: MixingModelScalar2s(**kw),
+        "scalar2sL": lambda: MixingModelScalar2sL(**kw),
+        # GainResNet keeps torch-default BN momentum internally (blocks.py)
         "resnet18": lambda: GainResNet(dtype=dtype),
     }
     if cfg.name not in builders:

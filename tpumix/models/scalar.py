@@ -55,6 +55,13 @@ class _ScalarModelBase(nn.Module):
     level_features: bool = False
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # flax BN retained fraction; 0.10 = torch-0.90 parity (see ConvBlock2d)
+    bn_momentum: float = 0.10
+    # reference parity keeps dropout (p=0.2/0.3, model_scalar_1s.py:211-215).
+    # Disable for infinite-stream training (the synthetic task): there is
+    # nothing to regularise, and dropout's variance shift miscalibrates the
+    # BN running stats that eval mode depends on (train/eval output gap)
+    use_dropout: bool = True
 
     @nn.compact
     def __call__(
@@ -67,8 +74,10 @@ class _ScalarModelBase(nn.Module):
         h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
 
         block = lambda f, k, name, s=1, d=1, p=0.2: ConvBlock2d(  # noqa: E731
-            features=f, kernel_size=k, strides=s, dilation=d, dropout_p=p,
-            axis_name=self.axis_name, dtype=self.dtype, name=name,
+            features=f, kernel_size=k, strides=s, dilation=d,
+            dropout_p=p if self.use_dropout else -1.0,
+            axis_name=self.axis_name, dtype=self.dtype,
+            bn_momentum=self.bn_momentum, name=name,
         )
         h = block(16, 3, "conv_b1", s=2, d=self.block1_dilation)(h, train=train)
         h = block(32, 5, "conv_b2")(h, train=train)

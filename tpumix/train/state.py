@@ -81,6 +81,101 @@ def _roundtrip_masked_db(feats_db, gains, amin: float):
     return (20.0 / ln10) * jnp.log(jnp.maximum(mix_amp, amin))
 
 
+def make_frontend_fn(frontend: FrontendConfig) -> Callable:
+    """Differentiable frontend: the fused Pallas kernel forward with an
+    XLA-derived backward when implementation="pallas" (the raw kernel has no
+    autodiff rule), plain XLA path otherwise."""
+
+    def _features(x: jax.Array) -> jax.Array:
+        if frontend.resolved_implementation() == "pallas":
+            from tpumix.ops.stft_pallas import stft_features_tm_hybrid
+
+            return jnp.swapaxes(stft_features_tm_hybrid(x, frontend), -1, -2)
+        return spectrogram_features(x, frontend)
+
+    return _features
+
+
+def make_gain_train_step(
+    model,
+    frontend: FrontendConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    dp_axis: Optional[str] = "dp",
+) -> Callable:
+    """Label-supervised train step for generators that know the true gains
+    (the synthetic engine, tpumix/data/synthetic.py):
+    ``(state, stems [B,4,S], g_true [B,4], rng) -> (state, metrics)`` with
+    ``loss = MSE(predicted_gains, g_true)`` in the model-scalar domain.
+
+    No reference analogue — the reference's corpora carry no gain labels, so
+    it trains the self-supervised spectrogram MSE (model_trainer.py:25-44).
+    On the synthetic family that objective is unidentifiable per stem
+    (magnitude spectrograms add incoherently; its optimum sits several dB
+    below the true gains), hence this supervised twin for the in-repo
+    quality demonstration."""
+    _features = make_frontend_fn(frontend)
+
+    def _constrain(x, spec):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+    def step(state: TrainState, stems: jax.Array, g_true: jax.Array, rng: jax.Array):
+        if stems.dtype == jnp.int16:
+            stems = stems.astype(jnp.float32) * (1.0 / 32768.0)
+        drop_rng = jax.random.fold_in(rng, state.step)
+        feats = _features(stems)  # [B, 4, F, T]
+        feats = _constrain(feats, (dp_axis, None, None, None))
+
+        def loss_fn(params):
+            (_, gains), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            value = jnp.mean(jnp.square(gains - g_true))
+            return value, (mutated["batch_stats"], gains)
+
+        (loss_val, (new_bs, gains)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
+        )
+        # gain RMS error in true dB (scalar domain x10) is the interpretable
+        # metric: the evaluator's relative-loudness error is bounded by it
+        metrics = {
+            "loss": loss_val,
+            "gain_rmse_db": 10.0 * jnp.sqrt(loss_val),
+            "mean_gain": jnp.mean(gains),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_gain_eval_step(model, frontend: FrontendConfig) -> Callable:
+    """Eval twin of :func:`make_gain_train_step` (running BN stats, no
+    dropout): ``(state, stems, g_true) -> loss``."""
+    _features = make_frontend_fn(frontend)
+
+    def step(state: TrainState, stems: jax.Array, g_true: jax.Array):
+        feats = _features(stems)
+        _, gains = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, feats, train=False
+        )
+        return jnp.mean(jnp.square(gains - g_true))
+
+    return step
+
+
 def make_train_step(
     model,
     frontend: FrontendConfig,
@@ -122,17 +217,7 @@ def make_train_step(
 
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
-    def _features(x: jax.Array) -> jax.Array:
-        """Differentiable frontend: the fused Pallas kernel forward with an
-        XLA-derived backward when implementation="pallas" (the raw kernel has
-        no autodiff rule), plain XLA path otherwise."""
-        if frontend.resolved_implementation() == "pallas":
-            import jax.numpy as jnp
-
-            from tpumix.ops.stft_pallas import stft_features_tm_hybrid
-
-            return jnp.swapaxes(stft_features_tm_hybrid(x, frontend), -1, -2)
-        return spectrogram_features(x, frontend)
+    _features = make_frontend_fn(frontend)
 
     def step(state: TrainState, stems: jax.Array, mix: jax.Array, rng: jax.Array):
         # int16 PCM inputs dequantise on device (half the host->device bytes;

@@ -322,40 +322,67 @@ class SyntheticTrainer(Trainer):
         mesh=None,
         run_name: Optional[str] = None,
         val_batches: int = 4,
+        context_mult: int = 4,
     ):
+        """``context_mult``: generator context length in chunks — levels and
+        labels are song-global over the context and the model sees one random
+        chunk window of it (inference-distribution match; see
+        synth_chunk_batch).  1 = the legacy per-chunk-exact-RMS task."""
         super().__init__(model, frontend, config, input_shape, mesh=mesh, run_name=run_name)
         from tpumix.data.synthetic import synth_chunk_batch
 
-        base_step = make_train_step(
-            model, frontend, self.tx, augment=config.augment, loss=config.loss,
-            mesh=mesh, dp_axis="dp" if mesh is not None else None,
-        )
-        eval_step = make_eval_step(model, frontend, loss=config.loss)
+        supervised = config.loss == "gain"
+        if supervised:
+            # generator labels exist -> supervise gains directly (the
+            # spectrogram-MSE objective is unidentifiable per stem on this
+            # family; see make_gain_train_step)
+            from tpumix.train.state import make_gain_eval_step, make_gain_train_step
+
+            base_step = make_gain_train_step(
+                model, frontend, self.tx,
+                mesh=mesh, dp_axis="dp" if mesh is not None else None,
+            )
+            eval_step = make_gain_eval_step(model, frontend)
+        else:
+            base_step = make_train_step(
+                model, frontend, self.tx, augment=config.augment, loss=config.loss,
+                mesh=mesh, dp_axis="dp" if mesh is not None else None,
+            )
+            eval_step = make_eval_step(model, frontend, loss=config.loss)
         B = config.batch_size
         self.val_batches = val_batches
 
-        def _constrain_batch(stems, mix):
+        def _constrain_batch(stems, target):
             if mesh is None:
-                return stems, mix
+                return stems, target
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             stems = jax.lax.with_sharding_constraint(
                 stems, NamedSharding(mesh, P("dp", None, None))
             )
-            mix = jax.lax.with_sharding_constraint(mix, NamedSharding(mesh, P("dp", None)))
-            return stems, mix
+            tgt_spec = P("dp", None) if target.ndim == 2 else P("dp")
+            target = jax.lax.with_sharding_constraint(target, NamedSharding(mesh, tgt_spec))
+            return stems, target
+
+        def _gen(rng):
+            """(stems, supervision target) for the configured objective."""
+            if supervised:
+                stems, _, g_true = synth_chunk_batch(
+                    rng, B, chunk_samples, sr, return_gains=True,
+                    context_mult=context_mult,
+                )
+                return stems, g_true
+            return synth_chunk_batch(rng, B, chunk_samples, sr, context_mult=context_mult)
 
         def fused(state, rng):
             rng = jax.random.fold_in(rng, state.step)
             gen_rng, step_rng = jax.random.split(rng)
-            stems, mix = synth_chunk_batch(gen_rng, B, chunk_samples, sr)
-            stems, mix = _constrain_batch(stems, mix)
-            return base_step(state, stems, mix, step_rng)
+            stems, target = _constrain_batch(*_gen(gen_rng))
+            return base_step(state, stems, target, step_rng)
 
         def fused_eval(state, rng):
-            stems, mix = synth_chunk_batch(rng, B, chunk_samples, sr)
-            stems, mix = _constrain_batch(stems, mix)
-            return eval_step(state, stems, mix)
+            stems, target = _constrain_batch(*_gen(rng))
+            return eval_step(state, stems, target)
 
         self._fused_step = jax.jit(fused, donate_argnums=(0,))
         self._fused_eval = jax.jit(fused_eval)
