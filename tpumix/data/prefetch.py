@@ -28,21 +28,41 @@ class BatchIterator:
         shuffle: bool = True,
         seed: Optional[int] = None,
         drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index``: multi-host data sharding — every
+        process builds the iterator with the SAME seed and its own index, the
+        shuffled epoch order is identical everywhere (seeded host RNG), and
+        each process yields the disjoint strided slice ``order[index::num]``
+        (the DistributedSampler pattern; pairs with
+        tpumix.parallel.distributed.global_batch so ``batch_size`` stays the
+        PER-PROCESS size)."""
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} outside [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._rng = np.random.default_rng(seed)
 
+    def _shard_len(self) -> int:
+        # floor division keeps every shard the same length (static shapes
+        # across processes — a straggler shard would deadlock collectives)
+        return len(self.dataset) // self.num_shards if self.num_shards > 1 else len(self.dataset)
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards][: self._shard_len()]
         stop = len(self) * self.batch_size if self.drop_last else len(order)
         for lo in range(0, stop, self.batch_size):
             idxs = order[lo : lo + self.batch_size]
