@@ -442,3 +442,18 @@ class TestGainSupervised:
         # not every window sits exactly at its drawn RMS the way K=1 does
         rms_db = 20 * np.log10(np.sqrt((np.asarray(stems) ** 2).mean(-1)))
         assert np.std(rms_db) > 0.05
+
+    def test_level_shift_keeps_labels(self):
+        from tpumix.data.synthetic import synth_chunk_batch
+
+        key = jax.random.key(9)
+        s0, m0, g0 = synth_chunk_batch(key, 4, 2048, sr=SR, return_gains=True,
+                                       context_mult=2)
+        s1, m1, g1 = synth_chunk_batch(key, 4, 2048, sr=SR, return_gains=True,
+                                       context_mult=2, level_shift_db=(-12.0, -12.0))
+        # same key => same underlying song; a -12 dB shared shift scales the
+        # waveforms by 10^(-12/20) and leaves the gain labels untouched
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+        c = 10.0 ** (-12.0 / 20.0)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0) * c, rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0) * c, rtol=1e-4, atol=1e-7)

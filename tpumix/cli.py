@@ -150,6 +150,7 @@ def cmd_train_synth(args) -> int:
         model, frontend, cfg, example_feature_shape(model_cfg),
         chunk_samples=frontend.chunk_samples(model_cfg.chunk_length_s),
         mesh=mesh, run_name=args.run_name, context_mult=args.context_mult,
+        level_shift_db=tuple(args.level_shift_db),
     )
     start = trainer.resume() if args.resume else 0
     result = trainer.fit(
@@ -364,6 +365,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="generator context length in chunks; levels/labels "
                          "are context-global, the model sees one random "
                          "window (inference-distribution match)")
+    sp.add_argument("--level-shift-db", type=float, nargs=2, default=(-14.0, 2.0),
+                    metavar=("LO", "HI"),
+                    help="scale-invariance augmentation: shared global level "
+                         "shift range in dB, gain labels unchanged (real "
+                         "corpora arrive at arbitrary absolute levels)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--steps-per-epoch", type=int, default=50)

@@ -113,6 +113,7 @@ def synth_chunk_batch(
     sr: int = 44100,
     return_gains: bool = False,
     context_mult: int = 1,
+    level_shift_db: Optional[Tuple[float, float]] = None,
 ):
     """Jittable synthetic training batch: ``(stems [B, 4, n], mix [B, n])``.
 
@@ -139,6 +140,17 @@ def synth_chunk_batch(
     so the model learns the conditional-mean gain given a window instead of
     inverting each window's own RMS (trained at K=1, per-window predictions
     track content modulation and full-song mixes wobble — measured round 2).
+
+    ``level_shift_db=(lo, hi)`` applies a per-item GLOBAL level shift (shared
+    across all 4 stems and the mix) with the gain labels left unchanged —
+    scale-invariance training.  Real corpora arrive at arbitrary absolute
+    levels (e.g. the PCM16 headroom normalisation in write_synth_dataset
+    shifts whole songs -8..-14 dB); the correct gains are unchanged by a
+    common scale, and the engineer's rides depend only on level DIFFERENCES,
+    so the relative gain structure stays exactly learnable while the model
+    stops extrapolating outside its trained absolute-level range (measured
+    round 2: models trained at fixed absolute levels lost to every baseline
+    on level-shifted corpora).
     """
     import jax
     import jax.numpy as jnp
@@ -208,6 +220,12 @@ def synth_chunk_batch(
         mix = jax.vmap(
             lambda x, o: jax.lax.dynamic_slice_in_dim(x, o, n_win, axis=-1)
         )(mix, off)
+
+    if level_shift_db is not None:
+        shift = u(k[13], level_shift_db[0], level_shift_db[1])  # [B, 1]
+        scale = 10.0 ** (shift / 20.0)
+        presented = presented * scale[..., None]
+        mix = mix * scale
 
     if return_gains:
         g_scalar = (targets - u_db) / 10.0  # model-scalar domain, see docstring

@@ -323,11 +323,14 @@ class SyntheticTrainer(Trainer):
         run_name: Optional[str] = None,
         val_batches: int = 4,
         context_mult: int = 4,
+        level_shift_db: Optional[Tuple[float, float]] = (-14.0, 2.0),
     ):
         """``context_mult``: generator context length in chunks — levels and
         labels are song-global over the context and the model sees one random
         chunk window of it (inference-distribution match; see
-        synth_chunk_batch).  1 = the legacy per-chunk-exact-RMS task."""
+        synth_chunk_batch).  1 = the legacy per-chunk-exact-RMS task.
+        ``level_shift_db``: scale-invariance augmentation range (shared
+        global level shift, labels unchanged); None disables."""
         super().__init__(model, frontend, config, input_shape, mesh=mesh, run_name=run_name)
         from tpumix.data.synthetic import synth_chunk_batch
 
@@ -369,10 +372,13 @@ class SyntheticTrainer(Trainer):
             if supervised:
                 stems, _, g_true = synth_chunk_batch(
                     rng, B, chunk_samples, sr, return_gains=True,
-                    context_mult=context_mult,
+                    context_mult=context_mult, level_shift_db=level_shift_db,
                 )
                 return stems, g_true
-            return synth_chunk_batch(rng, B, chunk_samples, sr, context_mult=context_mult)
+            return synth_chunk_batch(
+                rng, B, chunk_samples, sr,
+                context_mult=context_mult, level_shift_db=level_shift_db,
+            )
 
         def fused(state, rng):
             rng = jax.random.fold_in(rng, state.step)
