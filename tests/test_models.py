@@ -164,3 +164,28 @@ class TestBasicBlockTorchParity:
         np.testing.assert_allclose(
             out_flax, np.transpose(out_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
         )
+
+
+class TestNpzCheckpoints:
+    def test_save_load_roundtrip(self, tmp_path):
+        import jax
+
+        from tpumix.models import MixingModelScalar1s
+        from tpumix.models.convert import load_npz, save_npz
+
+        model = MixingModelScalar1s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 129, 47), np.float32), train=False
+        )
+        path = str(tmp_path / "m.npz")
+        save_npz(path, variables["params"], variables["batch_stats"])
+        loaded = load_npz(path)
+        for a, b in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(loaded["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(variables["batch_stats"]), jax.tree.leaves(loaded["batch_stats"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the loaded tree is forward-usable as-is
+        out, gains = model.apply(loaded, np.zeros((1, 4, 129, 47), np.float32), train=False)
+        assert gains.shape == (1, 4)

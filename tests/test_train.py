@@ -443,7 +443,7 @@ class TestGainSupervised:
         rms_db = 20 * np.log10(np.sqrt((np.asarray(stems) ** 2).mean(-1)))
         assert np.std(rms_db) > 0.05
 
-    def test_level_shift_keeps_labels(self):
+    def test_level_shift_compensated_labels(self):
         from tpumix.data.synthetic import synth_chunk_batch
 
         key = jax.random.key(9)
@@ -452,8 +452,14 @@ class TestGainSupervised:
         s1, m1, g1 = synth_chunk_batch(key, 4, 2048, sr=SR, return_gains=True,
                                        context_mult=2, level_shift_db=(-12.0, -12.0))
         # same key => same underlying song; a -12 dB shared shift scales the
-        # waveforms by 10^(-12/20) and leaves the gain labels untouched
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+        # observed stems by 10^(-12/20), the labels compensate by +12 dB
+        # (= +1.2 in the model-scalar domain), and the engineer mix — defined
+        # by the absolute targets — is unchanged
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0) + 1.2, rtol=1e-5)
         c = 10.0 ** (-12.0 / 20.0)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s0) * c, rtol=1e-4, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0) * c, rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-4, atol=1e-7)
+        # reconstruction stays exact under shift
+        amp = 10.0 ** (0.5 * np.asarray(g1))
+        recon = np.einsum("bsn,bs->bn", np.asarray(s1), amp)
+        np.testing.assert_allclose(recon, np.asarray(m1), rtol=1e-4, atol=1e-5)

@@ -51,13 +51,35 @@ def _load_mixer(args):
         jax.random.key(0), np.zeros(example_feature_shape(cfg), np.float32), train=False
     )
     if args.checkpoint:
-        import orbax.checkpoint as ocp
-
-        # restore the raw tree (trainer checkpoints carry opt_state/step too;
-        # a partial target with None placeholders fails structure matching)
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
-        variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+        variables = _load_variables(args.checkpoint)
     return SongMixer(model, variables, cfg, transfer_dtype=args.transfer_dtype)
+
+
+def _load_variables(checkpoint: str):
+    """Inference variables from either checkpoint format: a trainer Orbax run
+    directory, or a compact .npz artifact (models/convert.py save_npz)."""
+    if checkpoint.endswith(".npz"):
+        from tpumix.models.convert import load_npz
+
+        return load_npz(checkpoint)
+    import jax
+    import orbax.checkpoint as ocp
+
+    # restore the raw tree (trainer checkpoints carry opt_state/step too; a
+    # partial target with None placeholders fails structure matching).  The
+    # target is rebuilt from checkpoint metadata WITHOUT shardings so a
+    # checkpoint written on one backend (TPU run) restores on any other
+    # (CPU export session) — default restore pins the saved device.
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(checkpoint)
+    meta = ckptr.metadata(path)
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
+        meta.item_metadata if hasattr(meta, "item_metadata") else meta,
+    )
+    restored = ckptr.restore(path, target)
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
 
 
 def cmd_train(args) -> int:
@@ -138,6 +160,9 @@ def cmd_train_synth(args) -> int:
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=args.augment,
         early_stopping_patience=args.patience,
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
+        checkpoint_score="val",  # synthetic runs pick artifacts by val loss
+        lr_schedule=args.lr_schedule,
+        lr_total_steps=args.epochs * args.steps_per_epoch,
     )
     mesh = None
     if args.mesh:
@@ -160,6 +185,18 @@ def cmd_train_synth(args) -> int:
         "best_epoch": result.best_epoch, "best_val_loss": result.best_val_loss,
         "stopped_early": result.stopped_early, "checkpoint_dir": trainer.ckpt_dir,
     }))
+    return 0
+
+
+def cmd_export_checkpoint(args) -> int:
+    """Orbax run checkpoint -> compact inference .npz (params + batch_stats
+    only; drops optimiser state)."""
+    from tpumix.models.convert import save_npz
+
+    variables = _load_variables(args.checkpoint)
+    save_npz(args.out, variables["params"], variables["batch_stats"])
+    size = os.path.getsize(args.out)
+    print(json.dumps({"out": args.out, "bytes": size}))
     return 0
 
 
@@ -367,9 +404,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "window (inference-distribution match)")
     sp.add_argument("--level-shift-db", type=float, nargs=2, default=(-14.0, 2.0),
                     metavar=("LO", "HI"),
-                    help="scale-invariance augmentation: shared global level "
-                         "shift range in dB, gain labels unchanged (real "
-                         "corpora arrive at arbitrary absolute levels)")
+                    help="scale-robustness augmentation: shared global level "
+                         "shift range in dB with shift-compensated labels "
+                         "(real corpora arrive at arbitrary absolute levels)")
+    sp.add_argument("--lr-schedule", default="cosine", choices=["constant", "cosine"],
+                    help="cosine decays to 0.01x over epochs*steps (default "
+                         "here; 'constant' = reference parity)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--steps-per-epoch", type=int, default=50)
@@ -391,6 +431,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="continue from the newest checkpoint of this run")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train_synth)
+
+    sp = sub.add_parser("export-checkpoint",
+                        help="Orbax run checkpoint -> compact inference .npz")
+    sp.add_argument("--checkpoint", required=True, help="Orbax checkpoint dir")
+    sp.add_argument("--out", required=True, help="output .npz path")
+    sp.set_defaults(fn=cmd_export_checkpoint)
 
     sp = sub.add_parser("synth-data", help="write a synthetic eval corpus")
     sp.add_argument("--out", required=True)

@@ -140,6 +140,13 @@ class TrainConfig:
     early_stopping_patience: int = 10  # ignite EarlyStopping, training_ignite.ipynb cell 13
     checkpoint_dir: str = "./checkpoints"
     keep_checkpoints: Optional[int] = None  # None = keep all (ignite n_saved=None)
+    # keep-best-k scoring: "train" = ignite parity (-train_mse,
+    # training_ignite.ipynb cell 13); "val" keeps the best validation epochs
+    checkpoint_score: str = "train"
+    # "constant" = reference parity (training.ipynb cell 11); "cosine" decays
+    # learning_rate -> 0.01x over lr_total_steps (required for cosine)
+    lr_schedule: str = "constant"
+    lr_total_steps: Optional[int] = None
     seed: int = 0
     log_every_steps: int = 30  # ignite iteration logging cadence (cell 14)
     augment: bool = False

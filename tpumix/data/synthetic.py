@@ -142,15 +142,18 @@ def synth_chunk_batch(
     track content modulation and full-song mixes wobble — measured round 2).
 
     ``level_shift_db=(lo, hi)`` applies a per-item GLOBAL level shift (shared
-    across all 4 stems and the mix) with the gain labels left unchanged —
-    scale-invariance training.  Real corpora arrive at arbitrary absolute
-    levels (e.g. the PCM16 headroom normalisation in write_synth_dataset
-    shifts whole songs -8..-14 dB); the correct gains are unchanged by a
-    common scale, and the engineer's rides depend only on level DIFFERENCES,
-    so the relative gain structure stays exactly learnable while the model
-    stops extrapolating outside its trained absolute-level range (measured
-    round 2: models trained at fixed absolute levels lost to every baseline
-    on level-shifted corpora).
+    across all 4 stems) — scale-robustness training.  Real corpora arrive at
+    arbitrary absolute levels (e.g. the PCM16 headroom normalisation in
+    write_synth_dataset shifts whole songs -8..-14 dB), and models trained at
+    fixed absolute levels lost to every baseline on level-shifted corpora
+    (measured round 2).  Labels are SHIFT-COMPENSATED: gains take the stems
+    from their OBSERVED levels to the absolute engineer targets, so the
+    mapping stays a deterministic function of the input (a label left at the
+    pre-shift gain would make the shared shift an unobservable noise term —
+    an irreducible common-mode MSE floor).  The engineer's rides depend only
+    on level DIFFERENCES (shift-invariant), and the evaluation metric is
+    relative loudness, so shift-compensated and pre-shift gains are
+    evaluation-equivalent; the compensated form is simply the learnable one.
     """
     import jax
     import jax.numpy as jnp
@@ -205,6 +208,10 @@ def synth_chunk_batch(
     u_db = jax.random.uniform(
         k[10], (B, len(STEMS)), minval=PRESENT_DB[0], maxval=PRESENT_DB[1]
     )
+    if level_shift_db is not None:
+        # shared global shift folds into the OBSERVED levels; rides below use
+        # level differences, so targets are unaffected by construction
+        u_db = u_db + u(k[13], level_shift_db[0], level_shift_db[1])
     presented = stems_unit * (10.0 ** (u_db / 20.0))[..., None]
 
     targets = engineer_targets_db(u_db)  # [B, 4]
@@ -220,12 +227,6 @@ def synth_chunk_batch(
         mix = jax.vmap(
             lambda x, o: jax.lax.dynamic_slice_in_dim(x, o, n_win, axis=-1)
         )(mix, off)
-
-    if level_shift_db is not None:
-        shift = u(k[13], level_shift_db[0], level_shift_db[1])  # [B, 1]
-        scale = 10.0 ** (shift / 20.0)
-        presented = presented * scale[..., None]
-        mix = mix * scale
 
     if return_gains:
         g_scalar = (targets - u_db) / 10.0  # model-scalar domain, see docstring

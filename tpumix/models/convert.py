@@ -104,3 +104,50 @@ def load_torch_checkpoint(path: str):
 
     sd = torch.load(path, map_location="cpu")
     return torch_scalar_to_flax(sd)
+
+
+# --------------------------------------------------------------------------
+# Compact npz checkpoints (the in-repo artifact format)
+# --------------------------------------------------------------------------
+#
+# Orbax run directories (tpumix/train/trainer.py) carry the optimiser state
+# and OCDBT manifests — the right durable format for resumable training, the
+# wrong one for a shipped inference artifact.  npz stores only
+# params + batch_stats as flat "params/<path>" arrays: single file,
+# numpy-only loading, ~4 MB for the scalar models.
+
+
+def _flatten(tree: Mapping[str, Any], prefix: str, out: Dict[str, np.ndarray]) -> None:
+    for key, val in tree.items():
+        path = f"{prefix}/{key}"
+        if isinstance(val, Mapping):
+            _flatten(val, path, out)
+        else:
+            out[path] = _np(val)
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, val in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_npz(path: str, params: Mapping[str, Any], batch_stats: Mapping[str, Any]) -> None:
+    """Write inference variables as a single compressed .npz file."""
+    flat: Dict[str, np.ndarray] = {}
+    _flatten(params, "params", flat)
+    _flatten(batch_stats or {}, "batch_stats", flat)
+    np.savez_compressed(path, **flat)
+
+
+def load_npz(path: str) -> Dict[str, Any]:
+    """Read an npz checkpoint -> ``{"params": ..., "batch_stats": ...}``
+    (the Flax ``variables`` layout SongMixer consumes)."""
+    with np.load(path) as z:
+        tree = _unflatten({k: z[k] for k in z.files})
+    return {"params": tree.get("params", {}), "batch_stats": tree.get("batch_stats", {})}

@@ -41,13 +41,20 @@ class TrainState:
     opt_state: Any
 
 
-def adam_with_l2(learning_rate: float, weight_decay: float) -> optax.GradientTransformation:
+def adam_with_l2(learning_rate, weight_decay: float) -> optax.GradientTransformation:
     """torch.optim.Adam(weight_decay=wd) equivalence: grad += wd * param
-    BEFORE the Adam moment updates (coupled L2, not decoupled AdamW)."""
+    BEFORE the Adam moment updates (coupled L2, not decoupled AdamW).
+
+    ``learning_rate`` may be a float (reference parity: constant LR,
+    training.ipynb cell 11) or an optax schedule (step -> lr)."""
+    if callable(learning_rate):
+        lr_term = optax.scale_by_schedule(lambda count: -learning_rate(count))
+    else:
+        lr_term = optax.scale(-learning_rate)
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-learning_rate),
+        lr_term,
     )
 
 

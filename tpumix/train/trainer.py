@@ -65,7 +65,18 @@ class Trainer:
         self.frontend = frontend
         self.config = config
         self.mesh = mesh
-        self.tx = adam_with_l2(config.learning_rate, config.weight_decay)
+        lr = config.learning_rate
+        if config.lr_schedule == "cosine":
+            import optax
+
+            if not config.lr_total_steps:
+                raise ValueError("lr_schedule='cosine' requires lr_total_steps")
+            lr = optax.cosine_decay_schedule(
+                config.learning_rate, config.lr_total_steps, alpha=0.01
+            )
+        elif config.lr_schedule != "constant":
+            raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
+        self.tx = adam_with_l2(lr, config.weight_decay)
         self.state = create_train_state(
             model, jax.random.key(config.seed), input_shape, self.tx
         )
@@ -255,7 +266,11 @@ class Trainer:
                 writer.writerow([epoch, f"{train_loss:.6f}", f"{val_loss:.6f}", f"{dt:.2f}"])
                 f.flush()
 
-                self.save_checkpoint(epoch, score=-train_loss)
+                # ignite parity scores by -train_mse; "val" keeps the best
+                # VALIDATION epochs instead (what an exported inference
+                # artifact should be picked from)
+                score = -val_loss if self.config.checkpoint_score == "val" else -train_loss
+                self.save_checkpoint(epoch, score=score)
 
                 if val_loss < best_val - 1e-12:
                     best_val, best_epoch = val_loss, epoch
