@@ -1,0 +1,104 @@
+"""The shipped trained checkpoint (tpumix/assets/checkpoints/) — the artifact
+the reference never shipped (its checkpoint paths point at the author's
+workstation, reference inference_utils.py:156).
+
+Pins: (a) the artifact loads and its exact forward numerics (golden gains on
+a fixed synthetic song, CPU backend), (b) the semantic contract — predicted
+gains match the generator's true engineer gains up to a common level offset
+(the evaluator metric is relative loudness; the shift-compensated training
+objective leaves the common mode at the absolute-target convention), and
+(c) the committed quality record stays consistent with the committed stats.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from tpumix.assets import checkpoint_path, load_checkpoint
+from tpumix.config import preset
+from tpumix.data.synthetic import STEMS, make_synth_song
+from tpumix.infer.mixer import SongMixer
+from tpumix.models.registry import build_model
+
+# golden raw gains (model-scalar domain) for window 0 of make_synth_song(123,
+# 12 s), computed with the shipped artifact on the CPU backend
+GOLDEN_W0 = np.array([1.37790, 0.90633, 0.68260, 1.52530])
+
+
+@pytest.fixture(scope="module")
+def mixer():
+    cfg = preset("scalar2sL")
+    return SongMixer(build_model(cfg), load_checkpoint(), cfg)
+
+
+@pytest.fixture(scope="module")
+def song():
+    presented, engineer, true_gains = make_synth_song(123, duration_s=12.0)
+    return presented, true_gains
+
+
+class TestShippedCheckpoint:
+    def test_artifact_exists_and_loads(self):
+        path = checkpoint_path()
+        assert os.path.getsize(path) > 1_000_000  # real weights, not a stub
+        variables = load_checkpoint()
+        import jax
+
+        assert len(jax.tree.leaves(variables["params"])) >= 30
+        assert len(jax.tree.leaves(variables["batch_stats"])) == 10
+
+    def test_golden_forward(self, mixer, song):
+        presented, _ = song
+        stems = np.stack([presented[s] for s in STEMS])
+        g = mixer.song_gains(stems)
+        np.testing.assert_allclose(g[0], GOLDEN_W0, atol=2e-3)
+
+    def test_gains_match_engineer_up_to_common_offset(self, mixer, song):
+        presented, true_gains = song
+        stems = np.stack([presented[s] for s in STEMS])
+        g = mixer.song_gains(stems)  # [n_windows, 4]
+        pred_db = 10.0 * g.mean(axis=0)
+        true_db = 20.0 * np.log10([true_gains[s] for s in STEMS])
+        err = pred_db - true_db
+        rel_err = err - err.mean()
+        assert np.mean(np.abs(rel_err)) < 1.0, rel_err
+        # the common offset is the (documented) absolute-target convention —
+        # bounded, not unbounded drift
+        assert abs(err.mean()) < 15.0
+
+    def test_full_mix_beats_naive_sum_balance(self, mixer, song):
+        """End-to-end semantic check: the mixed stems' relative loudness is
+        closer to the engineer's than the raw sum's is."""
+        from tpumix.ops.loudness import integrated_loudness
+
+        presented, true_gains = song
+
+        def rel_loudness(tracks):
+            per = [integrated_loudness(np.asarray(tracks[s]), 44100) for s in STEMS]
+            avg = float(np.mean(per))
+            return np.array([p - avg for p in per])
+
+        engineer = {s: presented[s] * true_gains[s] for s in STEMS}
+        mixed, _, _ = mixer.mix_song_smooth({s: presented[s] for s in STEMS})
+        ref = rel_loudness(engineer)
+        err_mix = np.mean(np.abs(rel_loudness(mixed) - ref))
+        err_sum = np.mean(np.abs(rel_loudness(presented) - ref))
+        assert err_mix < err_sum
+
+    def test_committed_quality_record(self):
+        """docs/results/synthetic_eval/stats.csv: the committed sweep must
+        show the CNN beating every baseline (the round-2 record: 0.17 vs
+        sum 1.74 / random 2.92 / loudnorm 0.61)."""
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "results", "synthetic_eval", "stats.csv"
+        )
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        mean = rows[-1]
+        assert mean["song_name"] == "Mean"
+        mix = float(mean["mix_error"])
+        assert mix < float(mean["sum_error"])
+        assert mix < float(mean["random_error"])
+        assert mix < float(mean["loudnorm_error"])

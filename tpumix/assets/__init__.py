@@ -1,0 +1,48 @@
+"""Shipped artifacts: trained inference checkpoints (compact npz format,
+tpumix/models/convert.py save_npz/load_npz).
+
+The reference ships NO weights — its checkpoint paths point at the author's
+workstation (reference inference_utils.py:156, evaluation.py:196-199), so a
+fresh clone cannot mix anything.  tpumix ships a working mixer:
+
+``scalar2sL_synth.npz`` — MixingModelScalar2sL trained on the synthetic
+mixing task (tpumix/data/synthetic.py; gain-label objective, cosine LR,
+BN momentum 0.99, no dropout, context_mult=4, level-shift augmentation).
+Held-out LoudnessEvaluator record (8 x 90 s synthetic songs,
+docs/results/synthetic_eval/): mean relative-loudness error **0.17** vs
+sum 1.74 / random 2.92 / loudnorm 0.61 — the repo's analogue of the
+reference's 2.1715 record on MUSDB18 (reference evaluation.py:197-198).
+Reproduce with::
+
+    python -m tpumix train-synth --model scalar2sL --loss gain \\
+        --epochs 100 --steps-per-epoch 50 --batch-size 48 --seed 0 \\
+        --keep-checkpoints 3 --patience 100 --run-name repro
+    python -m tpumix export-checkpoint --checkpoint <best epoch dir> --out repro.npz
+    python -m tpumix synth-data --out /tmp/corpus --duration 90
+    python -m tpumix mean-loudness --data /tmp/corpus/train \\
+        --songlist /tmp/corpus/train_songlist.txt --layout musdb18 --out ml.json
+    python -m tpumix evaluate --data /tmp/corpus --layout musdb18 \\
+        --songlist /tmp/corpus/test_songlist.txt --model scalar2sL \\
+        --checkpoint repro.npz --mean-loudness ml.json --out results
+"""
+
+from __future__ import annotations
+
+import os
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def checkpoint_path(name: str = "scalar2sL_synth") -> str:
+    """Absolute path of a shipped checkpoint (without the .npz suffix)."""
+    path = os.path.join(_DIR, "checkpoints", f"{name}.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no shipped checkpoint {name!r} at {path}")
+    return path
+
+
+def load_checkpoint(name: str = "scalar2sL_synth"):
+    """Shipped checkpoint -> Flax ``variables`` dict (params + batch_stats)."""
+    from tpumix.models.convert import load_npz
+
+    return load_npz(checkpoint_path(name))
