@@ -419,3 +419,26 @@ def test_wavio_fuzz_truncations(tmp_path):
             assert y.shape[0] == meta.frames
         except (ValueError, struct_error):
             pass
+
+
+def test_wavio_bytesio_roundtrip(tmp_path):
+    """read/info accept in-memory streams (the HTTP service's request-body
+    path — no temp-file round trip)."""
+    import io
+
+    from tpumix.data import wavio as w
+
+    rng = np.random.default_rng(3)
+    data = rng.uniform(-0.5, 0.5, size=(256, 2)).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    w.write(path, data, 44100, subtype="FLOAT")
+    blob = open(path, "rb").read()
+
+    buf = io.BytesIO(blob)
+    meta = w.info(buf)
+    assert (meta.frames, meta.channels) == data.shape
+    audio, sr = w.read(io.BytesIO(blob), always_2d=True)
+    np.testing.assert_array_equal(audio, data)
+    # partial reads work on streams too
+    part, _ = w.read(io.BytesIO(blob), start=10, stop=20, always_2d=True)
+    np.testing.assert_array_equal(part, data[10:20])

@@ -94,18 +94,43 @@ def _parse_header(f) -> WavInfo:
         raise ValueError(f"unsupported WAV format: code={audio_format} bits={bits}")
 
     bytes_per_frame = block_align or channels * bits // 8
+    if bytes_per_frame <= 0:
+        raise ValueError("non-positive frame size in fmt chunk")
     # data_size can exceed the true payload in malformed files; clamp by file size
-    file_size = os.fstat(f.fileno()).st_size
-    data_size = min(data_size, file_size - data_offset)
+    data_size = min(data_size, _stream_size(f) - data_offset)
     frames = data_size // bytes_per_frame
     return WavInfo(samplerate, channels, frames, fmt_name, data_offset, bytes_per_frame)
 
 
-def info(path: str) -> WavInfo:
+def _stream_size(f) -> int:
+    """Total byte size of an open binary stream (file or BytesIO)."""
+    try:
+        return os.fstat(f.fileno()).st_size
+    except (AttributeError, OSError):
+        pos = f.tell()
+        size = f.seek(0, os.SEEK_END)
+        f.seek(pos)
+        return size
+
+
+def _open(path_or_file):
+    """(stream, needs_close) for a path or an open seekable binary stream
+    (e.g. io.BytesIO — the HTTP service decodes request bodies in memory)."""
+    if hasattr(path_or_file, "read"):
+        path_or_file.seek(0)
+        return path_or_file, False
+    return open(path_or_file, "rb"), True
+
+
+def info(path) -> WavInfo:
     """Metadata-only probe (the reference's ``sf.info`` usage,
-    data/dataset.py:70)."""
-    with open(path, "rb") as f:
+    data/dataset.py:70).  Accepts a path or a seekable binary stream."""
+    f, needs_close = _open(path)
+    try:
         return _parse_header(f)
+    finally:
+        if needs_close:
+            f.close()
 
 
 def read_mono(path: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
@@ -169,15 +194,20 @@ def read(
 
     ``start``/``stop`` are frame indices (soundfile ``sf.read(start=, stop=)``
     parity — the reference's chunked reads, data/dataset.py:194).  Mono files
-    yield 1-D arrays unless ``always_2d``.
+    yield 1-D arrays unless ``always_2d``.  ``path`` may be a filesystem path
+    or a seekable binary stream (io.BytesIO).
     """
     meta = info(path)
     start = max(0, min(start, meta.frames))
     stop = meta.frames if stop is None else max(start, min(stop, meta.frames))
     count = stop - start
-    with open(path, "rb") as f:
+    f, needs_close = _open(path)
+    try:
         f.seek(meta.data_offset + start * meta.bytes_per_frame)
         raw = f.read(count * meta.bytes_per_frame)
+    finally:
+        if needs_close:
+            f.close()
     x = _decode(raw, meta.format, meta.channels, dtype)
     if always_2d and x.ndim == 1:
         x = x[:, None]

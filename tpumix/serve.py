@@ -69,16 +69,10 @@ def _write_wav_bytes(buf, data_sc, sr):
 
 def decode_stems_wav(body: bytes) -> Tuple[dict, int]:
     """Inverse of :func:`encode_stems_wav` -> (tracks dict, sample rate)."""
-    import struct
-    import tempfile
-
     from tpumix.data import wavio
 
     ch = int(np.frombuffer(body[-4:], dtype=np.int32)[0])
-    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-        f.write(body[:-4])
-        f.flush()
-        audio, sr = wavio.read(f.name, always_2d=True)  # [S, 4*ch]
+    audio, sr = wavio.read(io.BytesIO(body[:-4]), always_2d=True)  # [S, 4*ch]
     stacked = audio.T  # [4*ch, S]
     tracks = {t: stacked[i * ch : (i + 1) * ch] for i, t in enumerate(STEMS)}
     return tracks, sr
