@@ -72,9 +72,10 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     cfg = preset("scalar2s")
     transfer = os.environ.get("BENCH_TRANSFER", "int16")
     mixer = SongMixer(model, variables, cfg, transfer_dtype=transfer)
+    conv_impl = getattr(model, "conv_impl", "n/a")
     print(
         f"[bench detail] frontend implementation = "
-        f"{mixer.frontend.resolved_implementation()!r} "
+        f"{mixer.frontend.resolved_implementation()!r}, conv = {conv_impl!r} "
         f"(backend {jax.default_backend()!r}), transfer = {transfer!r}",
         file=sys.stderr,
     )
@@ -160,9 +161,12 @@ def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
 def main() -> None:
     import jax
 
-    from tpumix.models import MixingModelScalar2s
+    from tpumix.config import preset
+    from tpumix.models.registry import build_model
 
-    model = MixingModelScalar2s()
+    # registry resolution gives the production hot path (conv_impl="auto"
+    # -> khgemm on TPU backends)
+    model = build_model(preset("scalar2s"))
     variables = model.init(
         jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
     )

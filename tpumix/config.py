@@ -103,6 +103,13 @@ class ModelConfig:
     # variance shift miscalibrates BN running stats with nothing to
     # regularise in return
     use_dropout: bool = True
+    # conv lowering: "auto" = khgemm on TPU backends, lax.conv elsewhere;
+    # "xla" = lax.conv; "khgemm" = kh-unrolled GEMM that fills the 128-lane
+    # MXU for the narrow 16/32/48/64-channel reference layers
+    # (tpumix/ops/conv_khgemm.py) — measured 672 -> 960 audio-s/s device-
+    # resident on the fused mixing pipeline (docs/PERF.md).  Numerics agree
+    # to f32 reassociation; checkpoints interchange freely (identical trees)
+    conv_impl: str = "auto"
 
     def frontend(self, base: Optional[FrontendConfig] = None) -> FrontendConfig:
         base = base or FrontendConfig()

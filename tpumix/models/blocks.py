@@ -37,6 +37,41 @@ def _pair(k: Union[int, Sequence[int]]) -> Tuple[int, int]:
     return tuple(k)  # type: ignore[return-value]
 
 
+class KhGemmConv(nn.Module):
+    """Drop-in nn.Conv replacement (VALID padding) backed by the kh-unrolled
+    GEMM lowering (tpumix/ops/conv_khgemm.py) for narrow-channel MXU fill.
+
+    Parameter names/shapes are IDENTICAL to flax nn.Conv ("kernel" HWIO,
+    "bias"), so checkpoints interchange freely between implementations.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from tpumix.ops.conv_khgemm import conv2d
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        y = conv2d(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=self.strides,
+            dilation=self.kernel_dilation,
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ConvBlock2d(nn.Module):
     """Conv2d(VALID) -> BatchNorm -> ReLU -> Dropout(train-only)."""
 
@@ -53,18 +88,31 @@ class ConvBlock2d(nn.Module):
     # noisy on short runs; raise towards 0.99 for stable running statistics
     # (ModelConfig.bn_momentum threads this through the registry).
     bn_momentum: float = BN_MOMENTUM
+    # "xla" = lax.conv (default); "khgemm" = kh-unrolled GEMM lowering for
+    # narrow-channel MXU fill (tpumix/ops/conv_khgemm.py; params identical)
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=_pair(self.kernel_size),
-            strides=(self.strides, self.strides),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding="VALID",
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.conv_impl == "khgemm":
+            x = KhGemmConv(
+                features=self.features,
+                kernel_size=_pair(self.kernel_size),
+                strides=(self.strides, self.strides),
+                kernel_dilation=(self.dilation, self.dilation),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=_pair(self.kernel_size),
+                strides=(self.strides, self.strides),
+                kernel_dilation=(self.dilation, self.dilation),
+                padding="VALID",
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

@@ -22,7 +22,15 @@ from tpumix.models.scalar import (
 
 def build_model(cfg: ModelConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    kw = dict(dtype=dtype, bn_momentum=cfg.bn_momentum, use_dropout=cfg.use_dropout)
+    conv_impl = cfg.conv_impl
+    if conv_impl == "auto":
+        # khgemm's widened GEMM wins on the MXU (960 vs 672 audio-s/s on the
+        # fused pipeline); plain lax.conv is the right call off-TPU
+        from tpumix.utils.backend import is_tpu_backend
+
+        conv_impl = "khgemm" if is_tpu_backend() else "xla"
+    kw = dict(dtype=dtype, bn_momentum=cfg.bn_momentum, use_dropout=cfg.use_dropout,
+              conv_impl=conv_impl)
     builders = {
         "scalar1s": lambda: MixingModelScalar1s(**kw),
         "scalar2s": lambda: MixingModelScalar2s(**kw),

@@ -62,6 +62,9 @@ class _ScalarModelBase(nn.Module):
     # nothing to regularise, and dropout's variance shift miscalibrates the
     # BN running stats that eval mode depends on (train/eval output gap)
     use_dropout: bool = True
+    # conv lowering: "xla" (default) or "khgemm" — kh-unrolled GEMM for
+    # narrow-channel MXU fill (blocks.KhGemmConv; params interchange freely)
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -77,7 +80,7 @@ class _ScalarModelBase(nn.Module):
             features=f, kernel_size=k, strides=s, dilation=d,
             dropout_p=p if self.use_dropout else -1.0,
             axis_name=self.axis_name, dtype=self.dtype,
-            bn_momentum=self.bn_momentum, name=name,
+            bn_momentum=self.bn_momentum, conv_impl=self.conv_impl, name=name,
         )
         h = block(16, 3, "conv_b1", s=2, d=self.block1_dilation)(h, train=train)
         h = block(32, 5, "conv_b2")(h, train=train)
