@@ -88,3 +88,27 @@ class TestModelParity:
         assert ta == tb
         for a, b in zip(jax.tree.leaves(v_a), jax.tree.leaves(v_b)):
             assert np.asarray(a).shape == np.asarray(b).shape
+
+
+class TestAutoResolution:
+    def test_auto_gates_on_backend_and_context(self, monkeypatch):
+        import tpumix.models.registry as registry
+        import tpumix.utils.backend as backend
+        from tpumix.config import ModelConfig
+
+        cfg = ModelConfig(name="scalar1s")  # conv_impl="auto" default
+        monkeypatch.setattr(backend, "is_tpu_backend", lambda *a: True)
+        assert registry.build_model(cfg).conv_impl == "khgemm"
+        # training: khgemm's backward loses (287 vs 235 ms/step) -> lax.conv
+        assert registry.build_model(cfg, for_training=True).conv_impl == "xla"
+        monkeypatch.setattr(backend, "is_tpu_backend", lambda *a: False)
+        assert registry.build_model(cfg).conv_impl == "xla"
+
+    def test_explicit_impl_wins(self):
+        import dataclasses
+
+        from tpumix.config import ModelConfig
+        from tpumix.models.registry import build_model
+
+        cfg = dataclasses.replace(ModelConfig(name="scalar1s"), conv_impl="khgemm")
+        assert build_model(cfg, for_training=True).conv_impl == "khgemm"

@@ -96,3 +96,70 @@ def test_bad_request(server):
     conn.request("POST", "/mix", body=b"garbage", headers={"Content-Length": "7"})
     r = conn.getresponse()
     assert r.status == 400
+
+
+class TestStreamingEndpoint:
+    def test_streaminfo(self, server):
+        host, port = server
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request("GET", "/streaminfo")
+        info = json.loads(conn.getresponse().read())
+        assert info == {"chunk_samples": SR, "sample_rate": SR}
+
+    def test_live_chunked_mixing(self, server):
+        """True streaming: each block's mixed response arrives BEFORE the
+        next block is sent (1-chunk latency over the wire)."""
+        host, port = server
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        conn.putrequest("POST", "/stream")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+
+        rng = np.random.default_rng(1)
+        C = SR
+        blocks = [
+            (0.2 * rng.standard_normal((len(STEMS), C))).astype("<f4") for _ in range(3)
+        ]
+
+        def send_block(b):
+            raw = b.tobytes()
+            # split across two HTTP chunks to exercise reassembly
+            half = len(raw) // 2
+            for piece in (raw[:half], raw[half:]):
+                conn.send(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
+
+        def read_block(fp):
+            # chunked response: hex size line, data, CRLF — may fragment
+            out = b""
+            while len(out) < C * 4:
+                size = int(fp.readline().strip(), 16)
+                assert size > 0
+                got = b""
+                while len(got) < size:
+                    got += fp.read(size - len(got))
+                fp.read(2)
+                out += got
+            return np.frombuffer(out, dtype="<f4")
+
+        send_block(blocks[0])
+        resp = conn.response_class(conn.sock, method="POST")
+        resp.begin()
+        assert resp.status == 200
+        fp = resp.fp
+        mixed = [read_block(fp)]          # block 0 answered before block 1 sent
+        for b in blocks[1:]:
+            send_block(b)
+            mixed.append(read_block(fp))
+        conn.send(b"0\r\n\r\n")
+        assert int(fp.readline().strip(), 16) == 0
+
+        # semantic: each mixed block equals some per-stem gain combination of
+        # its input (ramped gains -> verify via least squares residual)
+        for b, m in zip(blocks, mixed):
+            assert m.shape == (C,)
+            coef, res, *_ = np.linalg.lstsq(b.T.astype(np.float64), m.astype(np.float64),
+                                            rcond=None)
+            recon = b.T @ coef
+            err = np.max(np.abs(recon - m)) / (np.max(np.abs(m)) + 1e-9)
+            assert err < 0.2  # ramp makes gains time-varying; coarse fit holds
+        conn.close()

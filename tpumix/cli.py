@@ -126,7 +126,7 @@ def cmd_train(args) -> int:
         n = int(args.mesh)
         mesh = make_mesh((n,), ("dp",), devices=jax.devices()[:n])
 
-    model = build_model(model_cfg)
+    model = build_model(model_cfg, for_training=True)
     trainer = Trainer(
         model, model_cfg.frontend(), cfg, example_feature_shape(model_cfg),
         mesh=mesh, run_name=args.run_name,
@@ -169,7 +169,7 @@ def cmd_train_synth(args) -> int:
         n = int(args.mesh)
         mesh = make_mesh((n,), ("dp",), devices=jax.devices()[:n])
 
-    model = build_model(model_cfg)
+    model = build_model(model_cfg, for_training=True)
     frontend = model_cfg.frontend()
     trainer = SyntheticTrainer(
         model, frontend, cfg, example_feature_shape(model_cfg),

@@ -20,15 +20,18 @@ from tpumix.models.scalar import (
 )
 
 
-def build_model(cfg: ModelConfig):
+def build_model(cfg: ModelConfig, for_training: bool = False):
+    """``for_training`` steers the conv_impl="auto" resolution: khgemm's
+    widened GEMM wins the forward pass on the MXU (975 vs 672 audio-s/s on
+    the fused mixing pipeline) but its BACKWARD loses (287 vs 235 ms/step —
+    the window-concat's scatter-add gradient outweighs the forward win,
+    docs/PERF.md), so auto = khgemm only for TPU inference."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     conv_impl = cfg.conv_impl
     if conv_impl == "auto":
-        # khgemm's widened GEMM wins on the MXU (960 vs 672 audio-s/s on the
-        # fused pipeline); plain lax.conv is the right call off-TPU
         from tpumix.utils.backend import is_tpu_backend
 
-        conv_impl = "khgemm" if is_tpu_backend() else "xla"
+        conv_impl = "khgemm" if (is_tpu_backend() and not for_training) else "xla"
     kw = dict(dtype=dtype, bn_momentum=cfg.bn_momentum, use_dropout=cfg.use_dropout,
               conv_impl=conv_impl)
     builders = {

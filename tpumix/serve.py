@@ -13,6 +13,14 @@ Protocol
     JSON manifest form below.  Response: the mixed song as a WAV (FLOAT).
 ``POST /gains``  same body; response: JSON ``{"raw": {...}, "smooth": {...}}``
     per-stem gain curves.
+``POST /stream`` LIVE mixing: chunked transfer encoding both ways.  The
+    client streams raw little-endian float32 blocks of exactly
+    ``4 * chunk_samples`` samples (bass, drums, vocals, other mono chunks
+    concatenated); the server answers each block with the causally-mixed
+    ``chunk_samples`` float32 samples BEFORE the next block arrives
+    (tpumix/infer/streaming.py — one chunk of algorithmic latency end to
+    end).  Handshake: ``GET /streaminfo`` reports ``chunk_samples``.
+``GET  /streaminfo`` -> {"chunk_samples": N, "sample_rate": 44100}
 ``GET  /healthz`` -> {"status": "ok", "model": ..., "requests": N}
 
 The WAV container is used as the wire format because the framework already
@@ -99,6 +107,17 @@ class MixingService:
             _, raw, smooth = self.mixer.mix_song_smooth(tracks)
             return raw, smooth
 
+    def make_streaming(self):
+        """Per-connection causal mixer sharing this service's model/variables
+        (compiles its own segment-size-1 program once per process)."""
+        from tpumix.infer.streaming import StreamingMixer
+
+        with self.lock:
+            self.requests += 1
+            return StreamingMixer(
+                self.mixer.model, self.mixer.variables, self.mixer.model_cfg
+            )
+
 
 def make_handler(service: MixingService, model_name: str):
     class Handler(BaseHTTPRequestHandler):
@@ -117,11 +136,58 @@ def make_handler(service: MixingService, model_name: str):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", "model": model_name,
                                  "requests": service.requests})
+            elif self.path == "/streaminfo":
+                self._json(200, {"chunk_samples": service.mixer.chunk_samples,
+                                 "sample_rate": 44100})
             else:
                 self._json(404, {"error": "unknown path"})
 
+        # ---- live streaming ---------------------------------------------
+
+        def _iter_request_chunks(self):
+            """Yield the raw bytes of each HTTP request chunk
+            (Transfer-Encoding: chunked wire format)."""
+            while True:
+                size_line = self.rfile.readline(64).strip()
+                if not size_line:
+                    return
+                size = int(size_line.split(b";")[0], 16)
+                if size == 0:
+                    self.rfile.readline()  # trailing CRLF after last-chunk
+                    return
+                data = self.rfile.read(size)
+                self.rfile.read(2)  # CRLF
+                yield data
+
+        def _do_stream(self):
+            if "chunked" not in (self.headers.get("Transfer-Encoding") or "").lower():
+                self._json(400, {"error": "POST /stream requires chunked transfer"})
+                return
+            sm = service.make_streaming()
+            block_bytes = sm.chunk_samples * len(STEMS) * 4
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            pending = b""
+            for frag in self._iter_request_chunks():
+                pending += frag
+                while len(pending) >= block_bytes:
+                    block, pending = pending[:block_bytes], pending[block_bytes:]
+                    stems = np.frombuffer(block, dtype="<f4").reshape(
+                        len(STEMS), sm.chunk_samples
+                    )
+                    mixed = np.ascontiguousarray(sm.push(stems), dtype="<f4").tobytes()
+                    self.wfile.write(f"{len(mixed):x}\r\n".encode() + mixed + b"\r\n")
+                    self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+
         def do_POST(self):
             try:
+                if self.path == "/stream":
+                    self._do_stream()
+                    return
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
                 tracks, sr = decode_stems_wav(body)
