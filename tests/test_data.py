@@ -316,10 +316,11 @@ class TestWavioRobustness:
             assert y[2] <= -0.999 and y[3] >= 0.999  # inf -> clipped full scale
             np.testing.assert_allclose(y[0], 0.5, atol=1e-4)
 
-    def test_block_align_mismatch_rejected_by_native(self, tmp_path):
+    def test_block_align_mismatch_rejected_by_both_parsers(self, tmp_path):
         """A stereo PCM16 file claiming block_align=1 must not drive the
-        native reader into a heap overread (ADVICE r1): the native parser
-        rejects it and the numpy fallback decodes by format."""
+        native reader into a heap overread (ADVICE r1) NOR give the numpy
+        parser a wrong frame size (frames 4x off, partial-read seeks landing
+        mid-frame): both decoders reject it identically."""
         import struct
 
         from tpumix.data import _native
@@ -332,8 +333,10 @@ class TestWavioRobustness:
             f.write(b"data"); f.write(struct.pack("<I", len(payload))); f.write(payload)
         if _native.get_lib() is not None:
             assert _native.info(p) is None
-        x, sr = wavio.read(p, always_2d=True)
-        assert x.shape == (200, 2) and sr == 44100
+        with pytest.raises(ValueError, match="block_align"):
+            wavio.info(p)
+        with pytest.raises(ValueError, match="block_align"):
+            wavio.read(p)
 
     def test_not_a_wav(self, tmp_path):
         p = str(tmp_path / "bad.wav")

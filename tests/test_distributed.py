@@ -111,3 +111,53 @@ class TestShardedBatchIterator:
     def test_bad_shard_index(self):
         with pytest.raises(ValueError):
             BatchIterator(self._ds(), 2, num_shards=2, shard_index=2)
+
+
+def test_two_process_bootstrap(tmp_path):
+    """REAL multi-process bring-up: two local processes coordinate through
+    jax.distributed via tpumix.parallel.initialize.  This is the regression
+    test for the round-2 bug where the guard's jax.process_count() call
+    initialised the XLA backend first and made bootstrap impossible."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+from tpumix.parallel import initialize, process_count, process_index, shard_range
+import jax
+
+active = initialize(coordinator_address="127.0.0.1:7723",
+                    num_processes=2, process_id=int(sys.argv[1]))
+assert active is True
+assert process_count() == 2
+lo, hi = shard_range(10)
+print(f"RESULT {process_index()} {lo} {hi}", flush=True)
+"""
+    import os as _os
+
+    env = {**_os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    # the session sitecustomize registers (and touches) the remote-TPU
+    # backend when this var is set — the child must come up untouched for
+    # jax.distributed.initialize to be allowed to run
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed bootstrap deadlocked")
+        outs.append(out)
+        assert p.returncode == 0, out
+    results = sorted(
+        line for out in outs for line in out.splitlines() if line.startswith("RESULT")
+    )
+    assert results == ["RESULT 0 0 5", "RESULT 1 5 10"], results

@@ -179,3 +179,25 @@ class TestListening:
         out = str(tmp_path / "figs" / "global.png")
         listening.produce_boxplot([[1, 2, 3], [2, 3, 4]], ["mix", "sum"], out)
         assert os.path.exists(out)
+
+
+def test_device_meter_bucketing(tmp_path):
+    """Different song lengths within one power-of-two bucket share a single
+    compiled meter program (each distinct shape would otherwise be a fresh
+    remote compile per song), and padding stays metrically transparent."""
+    from tpumix.eval.evaluator import LoudnessEvaluator
+    from tpumix.ops.loudness import integrated_loudness
+
+    mean_loudness = {t: -20.0 for t in ("bass", "drums", "vocals", "other")}
+    ev = LoudnessEvaluator(None, mean_loudness, seed=0,
+                           results_dir=str(tmp_path), device_meter=True)
+    rng = np.random.default_rng(0)
+    for n in (100_000, 117_001):  # both bucket to 2**17
+        tracks = {t: 0.1 * rng.standard_normal(n).astype(np.float32)
+                  for t in ("bass", "drums", "vocals", "other")}
+        rel = ev.evaluate_loudness(tracks)
+        per = [integrated_loudness(np.asarray(tracks[t]), ev.sr)
+               for t in ("bass", "drums", "vocals", "other")]
+        host_rel = [p - float(np.mean(per)) for p in per]
+        np.testing.assert_allclose(rel, host_rel, atol=0.1)
+    assert ev._meter_fn._cache_size() == 1

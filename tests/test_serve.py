@@ -145,6 +145,9 @@ class TestStreamingEndpoint:
         resp = conn.response_class(conn.sock, method="POST")
         resp.begin()
         assert resp.status == 200
+        # chunked framing is only legal on HTTP/1.1 — a 1.0 status line would
+        # make compliant clients read the size lines as audio payload
+        assert resp.version == 11
         fp = resp.fp
         mixed = [read_block(fp)]          # block 0 answered before block 1 sent
         for b in blocks[1:]:
@@ -163,3 +166,32 @@ class TestStreamingEndpoint:
             err = np.max(np.abs(recon - m)) / (np.max(np.abs(m)) + 1e-9)
             assert err < 0.2  # ramp makes gains time-varying; coarse fit holds
         conn.close()
+
+
+    def test_stream_connections_share_compiled_inner_mixer(self, server):
+        """Each /stream connection must reuse ONE segment-1 SongMixer (a
+        fresh one per connection would re-trace + re-compile the device
+        program per connection)."""
+        from tpumix.infer.mixer import SongMixer
+        from tpumix.serve import MixingService
+
+        svc = MixingService.__new__(MixingService)
+        import threading as _t
+
+        import numpy as _np
+
+        import jax as _jax
+
+        from tpumix.config import ModelConfig
+        from tpumix.models import MixingModelScalar1s
+
+        model = MixingModelScalar1s()
+        variables = model.init(
+            _jax.random.key(0), _np.zeros((1, 4, 1025, 87), _np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        MixingService.__init__(svc, SongMixer(model, variables, cfg))
+        a = svc.make_streaming()
+        b = svc.make_streaming()
+        assert a._mixer is b._mixer
+        assert a is not b  # smoothing state is per-connection

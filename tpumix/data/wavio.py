@@ -93,7 +93,18 @@ def _parse_header(f) -> WavInfo:
     if fmt_name is None:
         raise ValueError(f"unsupported WAV format: code={audio_format} bits={bits}")
 
-    bytes_per_frame = block_align or channels * bits // 8
+    if channels <= 0:
+        raise ValueError("non-positive channel count in fmt chunk")
+    implied_bpf = channels * bits // 8
+    # reject a block_align that disagrees with the format-implied frame size
+    # (same contract as the native parser, native/tpumixio.cpp): trusting it
+    # would make frames/partial-read seeks wrong by up to bits*channels/8x
+    if block_align and block_align != implied_bpf:
+        raise ValueError(
+            f"block_align {block_align} contradicts format-implied frame size "
+            f"{implied_bpf} ({channels} ch x {bits} bit)"
+        )
+    bytes_per_frame = block_align or implied_bpf
     if bytes_per_frame <= 0:
         raise ValueError("non-positive frame size in fmt chunk")
     # data_size can exceed the true payload in malformed files; clamp by file size

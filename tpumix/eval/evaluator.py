@@ -83,6 +83,17 @@ class LoudnessEvaluator:
             batch = np.stack(
                 [np.atleast_2d(np.asarray(tracks[t], dtype=np.float32)) for t in STEMS]
             )  # [4, channels, samples]
+            # bucket the sample axis to the next power of two: every distinct
+            # input shape is a fresh XLA compile (minutes each through a
+            # remote-compile tunnel), and real corpora have a unique length
+            # per song.  Zero padding is metrically safe — silent 400 ms
+            # blocks fall below the BS.1770 absolute gate (-70 LUFS) and are
+            # excluded from both gating stages (<=0.02 LU on the fixtures,
+            # tests/test_eval.py::test_device_meter_bucketing).
+            n = batch.shape[-1]
+            bucket = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 14)
+            if bucket != n:
+                batch = np.pad(batch, ((0, 0), (0, 0), (0, bucket - n)))
             per_track = [float(v) for v in np.asarray(self._meter_fn(batch))]
         else:
             per_track = [

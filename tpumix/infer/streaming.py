@@ -49,25 +49,37 @@ class StreamingMixer:
         smoothing_alpha: float = 0.35,
         transfer_dtype: str = "float32",
         mix_cfg: Optional[MixConfig] = None,
+        inner_mixer: Optional[SongMixer] = None,
     ):
         """``smoothing_alpha``: one-pole coefficient in (0, 1] — the weight of
         the NEW chunk's gain (1.0 = no smoothing).  0.35 has an effective
         averaging window of ~1/0.35 ≈ 3 chunks, matching the reference's
         savgol window (num_chunks//4 ≈ 3..7 on typical songs) in bandwidth.
+
+        ``inner_mixer``: share an existing segment-size-1 SongMixer instead
+        of building one — a fresh SongMixer carries its own jit closure, so
+        per-stream construction would re-trace and re-compile the device
+        program per stream (the serving layer hands every connection the
+        same inner mixer; smoothing state stays per-StreamingMixer).
         """
         if not 0.0 < smoothing_alpha <= 1.0:
             raise ValueError(f"smoothing_alpha must be in (0, 1], got {smoothing_alpha}")
-        inner_cfg = mix_cfg or MixConfig(
-            chunk_length_s=model_cfg.chunk_length_s, max_chunks=1
-        )
-        if inner_cfg.max_chunks != 1:
-            import dataclasses
+        if inner_mixer is not None:
+            if (inner_mixer.mix_cfg.max_chunks or 0) != 1:
+                raise ValueError("inner_mixer must use max_chunks=1 segments")
+            self._mixer = inner_mixer
+        else:
+            inner_cfg = mix_cfg or MixConfig(
+                chunk_length_s=model_cfg.chunk_length_s, max_chunks=1
+            )
+            if inner_cfg.max_chunks != 1:
+                import dataclasses
 
-            inner_cfg = dataclasses.replace(inner_cfg, max_chunks=1)
-        self._mixer = SongMixer(
-            model, variables, model_cfg, mix_cfg=inner_cfg,
-            transfer_dtype=transfer_dtype,
-        )
+                inner_cfg = dataclasses.replace(inner_cfg, max_chunks=1)
+            self._mixer = SongMixer(
+                model, variables, model_cfg, mix_cfg=inner_cfg,
+                transfer_dtype=transfer_dtype,
+            )
         self.chunk_samples = self._mixer.chunk_samples
         self.alpha = float(smoothing_alpha)
         self.reset()

@@ -53,10 +53,13 @@ def initialize(
     unconditionally.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
 
+    # resolve the multi-process config BEFORE touching any jax API that
+    # initialises the XLA backend — jax.distributed.initialize() refuses to
+    # run once a backend exists, so even an innocent jax.process_count() in
+    # this guard would make multi-host bring-up impossible
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     env_n = os.environ.get("JAX_NUM_PROCESSES")
     env_i = os.environ.get("JAX_PROCESS_ID")
@@ -66,7 +69,12 @@ def initialize(
         process_id = int(env_i)
 
     if coordinator_address is None and num_processes in (None, 1):
-        return False  # single process — nothing to do
+        # no distributed config — nothing to bring up.  jax.process_count()
+        # is safe here (worst case it initialises a single-process backend);
+        # deliberately NOT latched so a later call WITH config still reaches
+        # jax.distributed.initialize (which then raises its own descriptive
+        # error if the backend was already touched).
+        return jax.process_count() > 1
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

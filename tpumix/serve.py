@@ -95,6 +95,7 @@ class MixingService:
         self.mixer = mixer
         self.lock = threading.Lock()
         self.requests = 0
+        self._stream_inner = None  # shared segment-1 SongMixer, built lazily
 
     def mix(self, tracks) -> np.ndarray:
         with self.lock:
@@ -108,19 +109,38 @@ class MixingService:
             return raw, smooth
 
     def make_streaming(self):
-        """Per-connection causal mixer sharing this service's model/variables
-        (compiles its own segment-size-1 program once per process)."""
+        """Per-connection causal mixer.  The segment-size-1 SongMixer (whose
+        jit closure owns the compiled device program) is built ONCE and
+        shared by every connection — only the cheap smoothing state is
+        per-connection."""
+        from tpumix.infer.mixer import SongMixer
         from tpumix.infer.streaming import StreamingMixer
 
         with self.lock:
             self.requests += 1
+            if self._stream_inner is None:
+                from tpumix.config import MixConfig
+
+                self._stream_inner = SongMixer(
+                    self.mixer.model, self.mixer.variables, self.mixer.model_cfg,
+                    mix_cfg=MixConfig(
+                        chunk_length_s=self.mixer.model_cfg.chunk_length_s,
+                        max_chunks=1,
+                    ),
+                )
             return StreamingMixer(
-                self.mixer.model, self.mixer.variables, self.mixer.model_cfg
+                self.mixer.model, self.mixer.variables, self.mixer.model_cfg,
+                inner_mixer=self._stream_inner,
             )
 
 
 def make_handler(service: MixingService, model_name: str):
     class Handler(BaseHTTPRequestHandler):
+        # chunked Transfer-Encoding (the /stream endpoint, both directions)
+        # only exists in HTTP/1.1 — compliant clients receiving chunked
+        # framing on a 1.0 status line would read the size lines as payload
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet
             pass
 

@@ -90,23 +90,38 @@ def measure_throughput(
     (statistics-preserving, memoization-defeating).
     Returns ``{"seconds": best, "audio_s_per_s": rate}``.
     """
+    import jax
+    import jax.numpy as jnp
     import numpy as np
+
+    def _perturb(a, rep: int):
+        if isinstance(a, np.ndarray) and a.dtype.kind == "f":
+            return np.roll(a, rep)
+        if isinstance(a, jax.Array) and jnp.issubdtype(a.dtype, jnp.floating):
+            # device-resident args are the case the perturbation exists for:
+            # an identical jax.Array every rep is exactly what the runtime
+            # memoizes.  roll keeps the statistics, changes every byte.
+            return jnp.roll(a, rep)
+        return a
 
     def _args_for(rep: int) -> tuple:
         if make_args is not None:
             return make_args(rep)
         if rep == 0:
             return args
-        return tuple(
-            np.roll(a, rep) if isinstance(a, np.ndarray) and a.dtype.kind == "f" else a
-            for a in args
-        )
+        return tuple(_perturb(a, rep) for a in args)
 
     for w in range(warmup):
         force(fn(*_args_for(-1 - w)))
+    # materialise every rep's inputs BEFORE the timing loop: a lazily
+    # dispatched jnp.roll would otherwise execute inside the timed region
+    variants = [_args_for(rep + 1) for rep in range(reps)]
+    for a in variants:
+        for x in a:
+            if isinstance(x, jax.Array):
+                force(x)
     best = float("inf")
-    for rep in range(reps):
-        a = _args_for(rep + 1)
+    for a in variants:
         tic = time.perf_counter()
         force(fn(*a))
         best = min(best, time.perf_counter() - tic)
