@@ -174,3 +174,43 @@ class TestMulawTransfer:
         dev = np.abs(g_mu - g_f32)
         assert dev.max() < 5.0  # dB-domain scalars; measured ~2 on random init
         assert dev.mean() < 2.0
+
+
+def test_savgol_polyorder_respects_short_curves():
+    """MixConfig(savgol_polyorder=3) on a 3-window song must clamp the
+    polyorder to the window, not stretch the window past the curve."""
+    import jax
+
+    from tpumix.config import MixConfig, ModelConfig
+    from tpumix.infer.mixer import SongMixer, STEMS
+    from tpumix.models import MixingModelScalar1s
+
+    model = MixingModelScalar1s()
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 4, 1025, 87), np.float32), train=False
+    )
+    cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+    mixer = SongMixer(model, variables, cfg,
+                      mix_cfg=MixConfig(chunk_length_s=1.0, savgol_polyorder=3))
+    rng = np.random.default_rng(0)
+    tracks = {t: 0.1 * rng.standard_normal(4 * 44100).astype(np.float32)
+              for t in STEMS}  # 4 chunks -> 3 gain windows
+    mixed, raw, smooth = mixer.mix_song_smooth(tracks)
+    assert all(len(v) == 3 for v in smooth.values())
+    assert all(np.all(np.isfinite(v)) for v in mixed.values())
+
+
+def test_mean_loudness_model_silent_stem_no_nan():
+    """A silent stem must pass through unchanged instead of becoming NaN
+    (-inf LUFS -> 10**inf gain; the reference's pyloudnorm path shares the
+    hole)."""
+    from tpumix.models.baselines import MeanLoudnessModel
+
+    rng = np.random.default_rng(0)
+    tracks = {t: 0.1 * rng.standard_normal((1, 44100)).astype(np.float32)
+              for t in ("bass", "drums", "vocals")}
+    tracks["other"] = np.zeros((1, 44100), np.float32)
+    out = MeanLoudnessModel({t: -20.0 for t in tracks}).forward(tracks)
+    assert np.all(np.isfinite(out["other"]))
+    np.testing.assert_array_equal(out["other"], tracks["other"])
+    assert np.all(np.isfinite(out["bass"]))

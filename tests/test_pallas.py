@@ -91,3 +91,27 @@ def test_single_signal_shape():
     assert out.shape == (1 + 8192 // 1024, 1025)
     # silence clamps to the amin floor: 20*log10(1e-5) = -100
     np.testing.assert_allclose(np.asarray(out), -100.0, atol=1e-3)
+
+
+def test_hybrid_backward_never_reenters_pallas(monkeypatch):
+    """The custom-vjp backward mirror must pin a non-pallas implementation:
+    with implementation='auto' on a TPU backend it would re-resolve to the
+    Pallas kernel and try to differentiate pl.pallas_call (no VJP rule)."""
+    import jax
+    import numpy as np
+
+    import tpumix.ops.stft_pallas as sp
+    from tpumix.config import FrontendConfig
+
+    def boom(*a, **k):
+        raise AssertionError("backward routed into the Pallas kernel")
+
+    monkeypatch.setattr(sp, "stft_magnitude_pallas", boom)
+    cfg = FrontendConfig(n_fft=256, hop_length=128, sample_rate=8000,
+                         implementation="pallas")
+    x = jax.numpy.asarray(
+        np.random.default_rng(0).standard_normal(2048).astype(np.float32)
+    )
+    out, vjp = jax.vjp(lambda xx: sp._tm_jnp(xx, cfg), x)
+    (g,) = vjp(jax.numpy.ones_like(out))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -463,3 +463,30 @@ class TestGainSupervised:
         amp = 10.0 ** (0.5 * np.asarray(g1))
         recon = np.einsum("bsn,bs->bn", np.asarray(s1), amp)
         np.testing.assert_allclose(recon, np.asarray(m1), rtol=1e-4, atol=1e-5)
+
+
+class TestResumeScores:
+    def test_keep_k_quota_spans_resume(self, data, tmp_path):
+        """resume() must reload scores.json so keep_checkpoints prunes
+        pre-resume epochs too (round-2 review finding)."""
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=2, checkpoint_dir=str(tmp_path),
+                          seed=0, keep_checkpoints=2)
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="rk")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        tr.fit(Loader(), Loader(), 0, 2)
+        tr2 = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="rk")
+        start = tr2.resume()
+        assert start == 2
+        assert len(tr2._scores) == 2  # ledger reloaded
+        tr2.fit(Loader(), Loader(), start, 2)
+        kept = sorted(d for d in (tmp_path / "rk").iterdir()
+                      if d.name.startswith("epoch_"))
+        assert len(kept) == 2  # quota enforced across the resume boundary

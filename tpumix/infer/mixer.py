@@ -268,8 +268,10 @@ class SongMixer:
             curve = amp_gains[:, i]
             if n_gains >= 3:
                 win = self.mix_cfg.savgol_window or default_savgol_window(num_chunks)
-                win = min(win, n_gains if n_gains % 2 else n_gains - 1)
-                win = max(win, self.mix_cfg.savgol_polyorder + 1 + (self.mix_cfg.savgol_polyorder % 2))
+                # the curve length is the HARD cap (a window beyond it is a
+                # savgol error); the polyorder then bends to the window —
+                # never the window to the polyorder
+                win = max(min(win, n_gains if n_gains % 2 else n_gains - 1), 1)
                 poly = min(self.mix_cfg.savgol_polyorder, win - 1)
                 smoothed = savgol_smooth(curve, win, poly)
             else:
@@ -296,11 +298,7 @@ class SongMixer:
         ``0..num_chunks-2`` are mixed with their own gains and the LAST chunk
         stays silent."""
 
-        def mono(x):
-            x = np.asarray(x, dtype=np.float32)
-            return x.mean(axis=0) if x.ndim == 2 else x
-
-        stem_mono = np.stack([mono(loaded_tracks[t]) for t in STEMS])
+        stem_mono = np.stack([self._mono(loaded_tracks[t]) for t in STEMS])
         gains = self.song_gains(stem_mono)  # [n_gains, 4] dB-domain scalars
         amp = (10.0 ** (0.5 * gains)).astype(np.float32)
 

@@ -68,5 +68,11 @@ class MeanLoudnessModel:
             # waveforms are [channels, samples]; the meter wants [samples, ch]
             audio = np.asarray(x[track])
             loud = integrated_loudness(audio.T, self.sr)
+            if not np.isfinite(loud):
+                # silent stem: -inf LUFS would imply an infinite gain
+                # (0 * inf = NaN audio — the reference's pyloudnorm path has
+                # the same hole); pass silence through unchanged instead
+                result[track] = audio
+                continue
             result[track] = normalize_loudness(audio.T, loud, self.mean_loudness[track]).T
         return result

@@ -148,8 +148,12 @@ class Meter:
 def integrated_loudness_jax(audio, fs: float):
     """Gated integrated loudness (LUFS) fully on device, batched.
 
-    :param audio: ``[..., channels, samples]`` (or ``[..., samples]`` mono).
-    :return: ``[...]`` LUFS values (-inf encoded as a large negative number,
+    :param audio: ``[..., channels, samples]`` with ``channels <= 5``; a 1-D
+        array is promoted to ``[1, samples]`` mono.  NOTE: a 2-D input is
+        ALWAYS read as ``[channels, samples]`` — a batch of mono songs must
+        be shaped ``[batch, 1, samples]`` explicitly (a bare ``[B, S]`` would
+        silently meter as one B-channel signal with surround weights).
+    :return: ``[...]`` LUFS values (-inf for all-gated/silent signals,
         static shapes — jit/vmap-friendly).
 
     Same algorithm as :func:`integrated_loudness`; the sequential K-weighting

@@ -163,9 +163,17 @@ def stft_features_pallas_tm(
 
 
 def _tm_jnp(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """jnp mirror used for the custom-vjp backward."""
+    """jnp mirror used for the custom-vjp backward.
+
+    The implementation MUST be pinned to a non-pallas path: on TPU backends
+    ``implementation="auto"`` re-resolves to the Pallas kernel, which would
+    send the backward straight back into ``pl.pallas_call`` (no VJP rule) —
+    the exact thing this mirror exists to avoid."""
+    import dataclasses
+
     from tpumix.ops.stft import amplitude_to_db, stft_magnitude
 
+    cfg = dataclasses.replace(cfg, implementation="fft")
     mag = stft_magnitude(x, cfg)
     return amplitude_to_db(mag, amin=cfg.amin, multiplier=cfg.db_multiplier)
 

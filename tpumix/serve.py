@@ -168,7 +168,8 @@ def make_handler(service: MixingService, model_name: str):
             """Yield the raw bytes of each HTTP request chunk
             (Transfer-Encoding: chunked wire format)."""
             while True:
-                size_line = self.rfile.readline(64).strip()
+                # RFC allows chunk extensions after ';' — bound generously
+                size_line = self.rfile.readline(1024).strip()
                 if not size_line:
                     return
                 size = int(size_line.split(b";")[0], 16)
@@ -203,7 +204,12 @@ def make_handler(service: MixingService, model_name: str):
             self.wfile.write(b"0\r\n\r\n")
             self.wfile.flush()
 
+        def send_response(self, *a, **k):
+            self._response_started = True
+            super().send_response(*a, **k)
+
         def do_POST(self):
+            self._response_started = False
             try:
                 if self.path == "/stream":
                     self._do_stream()
@@ -228,6 +234,12 @@ def make_handler(service: MixingService, model_name: str):
                 else:
                     self._json(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — service boundary
+                if self._response_started:
+                    # headers/body already (partially) on the wire: a second
+                    # status line would corrupt the HTTP/1.1 keep-alive
+                    # stream — drop the connection instead
+                    self.close_connection = True
+                    return
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

@@ -170,6 +170,18 @@ class Trainer:
         if latest is None:
             return 0
         self.restore_checkpoint(latest)
+        # reload the score ledger so the keep-best-k quota spans the whole
+        # run, not just post-resume epochs (and prior records survive the
+        # next scores.json write)
+        scores_path = os.path.join(self.ckpt_dir, "scores.json")
+        if os.path.exists(scores_path):
+            with open(scores_path) as f:
+                self._scores = {int(k): float(v) for k, v in json.load(f).items()}
+            # drop ledger entries whose checkpoint dirs no longer exist
+            self._scores = {
+                ep: s for ep, s in self._scores.items()
+                if os.path.isdir(self._ckpt_path(ep))
+            }
         print(f"[resume] restored epoch {latest} from {self.ckpt_dir}")
         return latest + 1
 
