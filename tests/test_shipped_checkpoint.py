@@ -40,14 +40,41 @@ def song():
 
 
 class TestShippedCheckpoint:
-    def test_artifact_exists_and_loads(self):
-        path = checkpoint_path()
+    @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth"])
+    def test_artifact_exists_and_loads(self, name):
+        path = checkpoint_path(name)
         assert os.path.getsize(path) > 1_000_000  # real weights, not a stub
-        variables = load_checkpoint()
+        variables = load_checkpoint(name)
         import jax
 
         assert len(jax.tree.leaves(variables["params"])) >= 30
         assert len(jax.tree.leaves(variables["batch_stats"])) == 10
+
+    def test_low_latency_artifact_mixes(self):
+        """The 1 s companion artifact drives the streaming mixer end to end
+        (its reason to exist: half the live latency)."""
+        from tpumix.infer.streaming import StreamingMixer
+
+        cfg = preset("scalar1sL")
+        sm = StreamingMixer(build_model(cfg), load_checkpoint("scalar1sL_synth"), cfg)
+        presented, _, _ = make_synth_song(77, duration_s=3.0)
+        C = sm.chunk_samples
+        for k in range(3):
+            out = sm.push(np.stack([presented[s][k * C:(k + 1) * C] for s in STEMS]))
+            assert out.shape == (C,) and np.all(np.isfinite(out))
+
+    def test_low_latency_quality_record(self):
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "results", "synthetic_eval",
+            "stats_scalar1sL.csv",
+        )
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        mean = rows[-1]
+        assert mean["song_name"] == "Mean"
+        mix = float(mean["mix_error"])
+        assert mix < min(float(mean["sum_error"]), float(mean["random_error"]),
+                         float(mean["loudnorm_error"]))
 
     def test_golden_forward(self, mixer, song):
         presented, _ = song

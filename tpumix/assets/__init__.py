@@ -12,6 +12,11 @@ Held-out LoudnessEvaluator record (8 x 90 s synthetic songs,
 docs/results/synthetic_eval/): mean relative-loudness error **0.17** vs
 sum 1.74 / random 2.92 / loudnorm 0.61 — the repo's analogue of the
 reference's 2.1715 record on MUSDB18 (reference evaluation.py:197-198).
+
+``scalar1sL_synth.npz`` — the low-latency companion (MixingModelScalar1sL,
+1 s chunks: half the streaming latency), same recipe; held-out record
+**0.16** on the same sweep (docs/results/synthetic_eval/stats_scalar1sL.csv).
+
 Reproduce with::
 
     python -m tpumix train-synth --model scalar2sL --loss gain \\

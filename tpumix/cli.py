@@ -95,10 +95,16 @@ def cmd_train(args) -> int:
 
     model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype)
     songs = _songlist(args) or None
-    train_songs, val_songs, _ = (
-        split_songlist(songs, (1 - args.val_fraction, args.val_fraction, 0.0), seed=args.seed)
-        if songs
-        else (None, None, None)
+    if songs is None:
+        # no songlist -> discover songs the same way the dataset would, so
+        # the train/val split still happens (validating on the training set
+        # would silently defeat early stopping and best-val selection)
+        songs = sorted(
+            d for d in os.listdir(args.data)
+            if os.path.isdir(os.path.join(args.data, d))
+        )
+    train_songs, val_songs, _ = split_songlist(
+        songs, (1 - args.val_fraction, args.val_fraction, 0.0), seed=args.seed
     )
 
     def make_ds(sl, augment):
@@ -111,13 +117,20 @@ def cmd_train(args) -> int:
     d_train = make_ds(train_songs, args.augment)
     # validation data is NEVER augmented (random val gains would bias the
     # early-stopping signal; the reference never augments validation)
-    d_val = make_ds(val_songs if val_songs else train_songs, False)
+    if not val_songs:
+        # corpus too small for the fraction to yield a song — fall back
+        # loudly rather than crash on an empty dataset
+        print("[train] WARNING: validation split is empty at this "
+              "--val-fraction; validating on the training songs")
+        val_songs = train_songs
+    d_val = make_ds(val_songs, False)
 
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=False,
         early_stopping_patience=args.patience,
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
+        transfer_dtype=args.transfer_dtype,
     )
     mesh = None
     if args.mesh:
@@ -216,25 +229,15 @@ def cmd_synth_data(args) -> int:
 
 
 def cmd_mix(args) -> int:
-    import numpy as np
-
-    from tpumix.data import wavio
-    from tpumix.data.loaders import load_tracks, load_tracks_musdb18
+    from tpumix.infer.catalog import mix_catalog
 
     mixer = _load_mixer(args)
-    loader = load_tracks_musdb18 if args.layout == "musdb18" else load_tracks
-    os.makedirs(args.out, exist_ok=True)
     songs = _songlist(args) or [args.song]
-    for song in songs:
-        tracks = loader(args.data, song, tracklist=("bass", "drums", "vocals", "other"))
-        mixed = mixer.mix_song(tracks)
-        out_path = os.path.join(args.out, f"{song}_mixed.wav")
-        wavio.write(out_path, np.asarray(mixed).T, 44100)
-        if args.naive_sum:
-            total = sum(np.asarray(v) for v in tracks.values())
-            peak = np.max(np.abs(total)) or 1.0
-            wavio.write(os.path.join(args.out, f"{song}_sum.wav"), (total / peak).T, 44100)
-        print(f"[mix] {out_path}")
+    # mix_catalog pipelines disk I/O with device work (the CLI previously
+    # duplicated this loop serially)
+    for path in mix_catalog(mixer, args.data, songs, args.out,
+                            layout=args.layout, naive_sum=args.naive_sum):
+        print(f"[mix] {path}")
     return 0
 
 
@@ -358,7 +361,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--songlist", default="",
                         help="registry key (tpumix.data.songlists) or a text file")
         sp.add_argument("--model", default="scalar2s",
-                        choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
+                        choices=["scalar1s", "scalar1sL", "scalar2s", "scalar2sL", "resnet18"])
         sp.add_argument("--compute-dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="conv compute dtype (bfloat16: ~1.4x faster, "
@@ -387,7 +390,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("train-synth", help="train on the on-device synthetic task")
     sp.add_argument("--model", default="scalar2sL",
-                    choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
+                    choices=["scalar1s", "scalar1sL", "scalar2s", "scalar2sL", "resnet18"])
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     sp.add_argument("--bn-momentum", type=float, default=0.99,
@@ -493,7 +496,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("serve", help="HTTP mixing service")
     sp.add_argument("--model", default="scalar2s",
-                    choices=["scalar1s", "scalar2s", "scalar2sL", "resnet18"])
+                    choices=["scalar1s", "scalar1sL", "scalar2s", "scalar2sL", "resnet18"])
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     sp.add_argument("--checkpoint", default="")

@@ -125,6 +125,9 @@ def preset(name: str) -> ModelConfig:
     """Model presets with their pinned chunk/hop pairs."""
     presets = {
         "scalar1s": ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512),
+        # tpumix extension: Scalar1s trunk + level-aware gain heads (the
+        # low-latency streaming companion of scalar2sL)
+        "scalar1sL": ModelConfig(name="scalar1sL", chunk_length_s=1.0, hop_length=512),
         "scalar2s": ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512),
         # tpumix extension: Scalar2s trunk + level-aware gain heads
         "scalar2sL": ModelConfig(name="scalar2sL", chunk_length_s=2.0, hop_length=512),

@@ -1,5 +1,6 @@
 from tpumix.models.scalar import (  # noqa: F401
     MixingModelScalar1s,
+    MixingModelScalar1sL,
     MixingModelScalar2s,
     MixingModelScalar2sL,
     gains_as_tuple,

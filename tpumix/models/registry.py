@@ -15,6 +15,7 @@ from tpumix.config import ModelConfig
 from tpumix.models.resnet import GainResNet
 from tpumix.models.scalar import (
     MixingModelScalar1s,
+    MixingModelScalar1sL,
     MixingModelScalar2s,
     MixingModelScalar2sL,
 )
@@ -36,6 +37,7 @@ def build_model(cfg: ModelConfig, for_training: bool = False):
               conv_impl=conv_impl)
     builders = {
         "scalar1s": lambda: MixingModelScalar1s(**kw),
+        "scalar1sL": lambda: MixingModelScalar1sL(**kw),
         "scalar2s": lambda: MixingModelScalar2s(**kw),
         "scalar2sL": lambda: MixingModelScalar2sL(**kw),
         # GainResNet keeps torch-default BN momentum internally (blocks.py)

@@ -111,6 +111,16 @@ class MixingModelScalar1s(_ScalarModelBase):
     block1_dilation: int = 1
 
 
+class MixingModelScalar1sL(_ScalarModelBase):
+    """tpumix EXTENSION: Scalar1s trunk + level-aware gain heads — the
+    low-latency companion of :class:`MixingModelScalar2sL` (1 s chunks =
+    1 s algorithmic latency in the streaming mixer, tpumix/infer/streaming.py,
+    vs 2 s for the flagship)."""
+
+    block1_dilation: int = 1
+    level_features: bool = True
+
+
 class MixingModelScalar2s(_ScalarModelBase):
     """2-second-chunk scalar model (173-frame input, hop 512); block 1 uses
     dilation=2 (reference model_scalar_2s.py:68)."""
