@@ -16,9 +16,16 @@ iteration, in chronological order:
    128-aligned channel groups;
 3. with XLA building the column matrix outside and the kernel reduced to
    one aligned halo DMA + kh MXU dots + epilogue, the program compiles but
-   the worker crashes at runtime (fault under investigation; suspects:
-   halo DMA from an HBM-spec'd operand overlapping the pipelined output
-   writeback, and VMEM pressure at tile_rows=16 for conv5).
+   the worker crashes at runtime;
+4. the same crash reproduces after removing every remaining suspect on the
+   compute side — the canonical grid-accumulation form (grid (N, tiles, kh),
+   output block as the K-loop accumulator, no sublane-offset slices or
+   VMEM-value reshapes, 128-aligned DMA slices) still takes the worker down.
+   The one element common to every faulting variant is the manual
+   ``make_async_copy`` from an HBM-spec'd OPERAND at a program_id-derived
+   offset; next iteration should eliminate it (double-buffered
+   PrefetchScalarGridSpec input pipelining, or a layout where standard
+   disjoint BlockSpecs suffice).
 
 Why: the khgemm lowering (tpumix/ops/conv_khgemm.py) already fixes the
 MXU lane fill for the reference CNN's narrow layers, but under XLA the
@@ -28,15 +35,17 @@ fusion boundaries with HBM round trips.  This kernel does the whole block —
     y = relu( conv_valid(x, w) * scale + shift )
 
 (``scale``/``shift`` are the inference-time BN fold:
-``s = gamma / sqrt(var + eps)``, ``t = (bias - mean) * s + beta``) — per
-(batch, row-tile) grid step entirely in VMEM:
+``s = gamma / sqrt(var + eps)``, ``t = (bias - mean) * s + beta``) — on a
+``(batch, row-tile, kernel-row)`` grid entirely in VMEM:
 
-* the input row block (TH + kh - 1 halo rows) is DMA'd from HBM once;
-* kernel rows are reduced in-register: for each ``i < kh`` a width-window
-  column matrix ``[TH*Wo, kw*Cin]`` is built from VMEM slices and hits the
-  MXU against ``w2[i] = [kw*Cin, Cout]`` with f32 accumulation;
-* the BN/ReLU epilogue runs on the accumulator before a single output
-  store — no intermediate conv result ever visits HBM.
+* XLA prebuilds the width-window column matrix (findings 1-2 below rule out
+  building it in-kernel); each grid step DMAs its TH-row slice at kernel-row
+  offset ``i``;
+* the kh reduction runs over the innermost grid dimension with the OUTPUT
+  block as accumulator (canonical Mosaic K-loop): one MXU dot per step
+  against ``w2[i] = [kw*Cin, Cout]``, f32 accumulation;
+* the BN/ReLU epilogue runs in-place on the final step — no intermediate
+  conv result ever visits HBM.
 
 Scope: stride 1, dilation 1 (the reference trunk's conv2..5); inference
 only (BatchNorm folded with running statistics).  Training and strided
@@ -61,23 +70,33 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _kernel(xc_hbm, w2_ref, s_ref, t_ref, out_ref, cols, sem, *, TH, kh, Wo, K, Cout):
+    """Grid = (N, n_tiles, kh): the kernel-row reduction runs over the
+    innermost grid dimension with the output block as the accumulator (the
+    canonical Mosaic K-loop shape) — no sublane-offset slices or reshapes of
+    VMEM values, which earlier formulations tripped on."""
     b = pl.program_id(0)
     t = pl.program_id(1)
+    i = pl.program_id(2)
 
-    # one clean halo-row DMA: the width-window columns are prebuilt by XLA
-    # outside the kernel (a register-level concat of shifted slices is not
-    # expressible in Mosaic, and lane-offset DMA writes aren't either)
-    dma = pltpu.make_async_copy(xc_hbm.at[b, pl.ds(t * TH, TH + kh - 1)], cols, sem)
+    dma = pltpu.make_async_copy(xc_hbm.at[b, pl.ds(t * TH + i, TH)], cols, sem)
     dma.start()
     dma.wait()
 
-    acc = jnp.zeros((TH * Wo, Cout), jnp.float32)
-    for i in range(kh):
-        block = cols[i : i + TH].reshape(TH * Wo, K)
-        acc = acc + jnp.dot(block, w2_ref[i], preferred_element_type=jnp.float32)
+    contrib = jnp.dot(
+        cols[...].reshape(TH * Wo, K), w2_ref[0], preferred_element_type=jnp.float32
+    ).reshape(TH, Wo, Cout)
 
-    y = jnp.maximum(acc * s_ref[0] + t_ref[0], 0.0)
-    out_ref[0] = y.reshape(TH, Wo, Cout)
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(i > 0)
+    def _accum():
+        out_ref[0] += contrib
+
+    @pl.when(i == kh - 1)
+    def _epilogue():
+        out_ref[0] = jnp.maximum(out_ref[0] * s_ref[0] + t_ref[0], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
@@ -129,20 +148,20 @@ def conv_block_fused(
     kernel = functools.partial(_kernel, TH=TH, kh=kh, Wo=Wo, K=K, Cout=Cout)
     out = pl.pallas_call(
         kernel,
-        grid=(N, n_tiles),
+        grid=(N, n_tiles, kh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # manual halo DMA source
-            pl.BlockSpec((kh, K, Cout), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((1, K, Cout), lambda b, t, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, t, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, t, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TH, Wo, Cout), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            (1, TH, Wo, Cout), lambda b, t, i: (b, t, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, n_tiles * TH, Wo, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TH + kh - 1, Wo, K), jnp.float32),
+            pltpu.VMEM((TH, Wo, K), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
