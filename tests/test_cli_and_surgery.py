@@ -206,3 +206,25 @@ class TestCLITrain:
         run_dir = os.path.join(ckpt, "cli_e2e")
         assert os.path.exists(os.path.join(run_dir, "epoch_0000"))
         assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
+
+
+def test_platform_cpu_disables_compile_cache(tmp_path):
+    """--platform cpu must clear the persistent compile cache the package
+    enables for TPU backends at import time: CPU AOT executables are
+    machine-feature-sensitive (SIGILL risk when the cache travels across
+    machine profiles)."""
+    import jax
+
+    import tpumix.cli as cli
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cache"))
+        rc = cli.main([
+            "--platform", "cpu", "synth-data", "--out", str(tmp_path / "ds"),
+            "--n-train", "0", "--n-test", "0", "--duration", "0.1",
+        ])
+        assert rc == 0
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

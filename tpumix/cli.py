@@ -217,6 +217,7 @@ def cmd_synth_data(args) -> int:
     """Materialise a synthetic eval corpus (MUSDB18 layout) + songlist files."""
     from tpumix.data.synthetic import write_synth_dataset
 
+    os.makedirs(args.out, exist_ok=True)
     lists = write_synth_dataset(
         args.out, n_train=args.n_train, n_test=args.n_test,
         duration_s=args.duration, seed=args.seed,
@@ -514,6 +515,12 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform.startswith("cpu"):
+            # the package enabled the persistent compile cache at import time
+            # for the env's TPU backend; with the platform overridden to CPU
+            # that cache must not serve machine-feature-sensitive CPU AOT
+            # executables (SIGILL risk on feature drift — tpumix/__init__.py)
+            jax.config.update("jax_compilation_cache_dir", None)
     return args.fn(args)
 
 
