@@ -490,3 +490,39 @@ class TestResumeScores:
         kept = sorted(d for d in (tmp_path / "rk").iterdir()
                       if d.name.startswith("epoch_"))
         assert len(kept) == 2  # quota enforced across the resume boundary
+
+
+class TestMulawTraining:
+    def test_mulaw8_batches_train(self, data, tmp_path):
+        """transfer_dtype='mulaw8' ships int8 mu-law batches with on-device
+        decode — previously accepted by the CLI and silently ignored."""
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path),
+                          seed=0, transfer_dtype="mulaw8")
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="mulaw_t")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        res = tr.fit(Loader(), Loader(), 0, 1)
+        assert np.isfinite(res.train_loss[0])
+
+    def test_unknown_transfer_dtype_rejected(self, data, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path),
+                          seed=0, transfer_dtype="int4")
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="bad_t")
+
+        class Loader:
+            def __iter__(self):
+                return iter(data)
+
+            def __len__(self):
+                return len(data)
+
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            tr.fit(Loader(), Loader(), 0, 1)

@@ -96,16 +96,23 @@ def cmd_train(args) -> int:
     model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype)
     songs = _songlist(args) or None
     if songs is None:
-        # no songlist -> discover songs the same way the dataset would, so
-        # the train/val split still happens (validating on the training set
+        # no songlist -> discover songs exactly as the dataset would, so the
+        # train/val split still happens (validating on the training set
         # would silently defeat early stopping and best-val selection)
-        songs = sorted(
-            d for d in os.listdir(args.data)
-            if os.path.isdir(os.path.join(args.data, d))
-        )
+        from tpumix.data.loaders import discover_songs
+
+        songs = discover_songs(args.data)
     train_songs, val_songs, _ = split_songlist(
         songs, (1 - args.val_fraction, args.val_fraction, 0.0), seed=args.seed
     )
+    if not train_songs:
+        # an empty list would read as "discover everything" downstream
+        # (MultitrackAudioDataset default) — train would silently include
+        # the validation songs
+        raise SystemExit(
+            f"--val-fraction {args.val_fraction} leaves no training songs "
+            f"({len(songs)} total); lower it or provide more songs"
+        )
 
     def make_ds(sl, augment):
         return MultitrackAudioDataset(
@@ -234,11 +241,11 @@ def cmd_mix(args) -> int:
 
     mixer = _load_mixer(args)
     songs = _songlist(args) or [args.song]
-    # mix_catalog pipelines disk I/O with device work (the CLI previously
-    # duplicated this loop serially)
-    for path in mix_catalog(mixer, args.data, songs, args.out,
-                            layout=args.layout, naive_sum=args.naive_sum):
-        print(f"[mix] {path}")
+    # mix_catalog pipelines disk I/O with device work; per-song progress
+    # prints as each file lands (a long sweep would otherwise look hung)
+    mix_catalog(mixer, args.data, songs, args.out,
+                layout=args.layout, naive_sum=args.naive_sum,
+                on_written=lambda p: print(f"[mix] {p}", flush=True))
     return 0
 
 

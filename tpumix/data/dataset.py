@@ -71,11 +71,9 @@ class MultitrackAudioDataset:
         self._rng = np.random.default_rng(seed)
 
         if not songlist:
-            songlist = sorted(
-                name
-                for name in os.listdir(base_path)
-                if os.path.isdir(os.path.join(base_path, name))
-            )
+            from tpumix.data.loaders import discover_songs
+
+            songlist = discover_songs(base_path)
         self.songlist: List[str] = list(songlist)
         self._rng.shuffle(self.songlist)
 

@@ -93,6 +93,19 @@ def align_track_lengths(tracks: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {k: a[..., :n] for k, a in tracks.items()}
 
 
+def discover_songs(base_path: str):
+    """Song directories under ``base_path``, sorted — the single source of
+    truth for corpus discovery (the dataset's default songlist and the train
+    CLI's split both use it; reference default: listdir, data/dataset.py:44-46)."""
+    import os
+
+    return sorted(
+        name
+        for name in os.listdir(base_path)
+        if os.path.isdir(os.path.join(base_path, name))
+    )
+
+
 def split_songlist(
     songlist: Sequence[str],
     train_val_test_split: Tuple[float, float, float] = (0.8, 0.2, 0.0),

@@ -54,8 +54,13 @@ def mix_catalog(
     naive_sum: bool = False,
     prefetch: int = 2,
     sr: int = 44100,
+    on_written=None,
 ) -> List[str]:
-    """Mix each song; returns the written mixed-wav paths."""
+    """Mix each song; returns the written mixed-wav paths.
+
+    ``on_written(path)`` fires as each song's file lands — progress for
+    long catalogue sweeps (minutes of wall time on link-bound hosts) instead
+    of silence until the final return."""
     os.makedirs(out_dir, exist_ok=True)
     loader = load_tracks_musdb18 if layout == "musdb18" else load_tracks
 
@@ -89,6 +94,8 @@ def mix_catalog(
         out_path = os.path.join(out_dir, f"{song}_mixed.wav")
         wavio.write(out_path, (total / peak).T, sr)
         written.append(out_path)
+        if on_written is not None:
+            on_written(out_path)
         if naive_sum:
             raw_total = sum(np.asarray(v, dtype=np.float32) for v in tracks.values())
             rp = float(np.max(np.abs(raw_total))) or 1.0

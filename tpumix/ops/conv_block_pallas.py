@@ -17,15 +17,17 @@ iteration, in chronological order:
 3. with XLA building the column matrix outside and the kernel reduced to
    one aligned halo DMA + kh MXU dots + epilogue, the program compiles but
    the worker crashes at runtime;
-4. the same crash reproduces after removing every remaining suspect on the
-   compute side — the canonical grid-accumulation form (grid (N, tiles, kh),
-   output block as the K-loop accumulator, no sublane-offset slices or
-   VMEM-value reshapes, 128-aligned DMA slices) still takes the worker down.
-   The one element common to every faulting variant is the manual
-   ``make_async_copy`` from an HBM-spec'd OPERAND at a program_id-derived
-   offset; next iteration should eliminate it (double-buffered
-   PrefetchScalarGridSpec input pipelining, or a layout where standard
-   disjoint BlockSpecs suffice).
+4. the crash reproduces in the canonical grid-accumulation form (grid
+   (N, tiles, kh), output block as the K-loop accumulator, no
+   SUBLANE-OFFSET slices, 128-aligned DMA slices).  NOT yet eliminated as
+   suspects: the full-block VMEM reshapes that remain
+   (``cols[...].reshape(TH*Wo, K)`` / ``contrib.reshape``), and the manual
+   ``make_async_copy`` from an HBM-spec'd operand at a program_id-derived
+   offset, which every faulting variant shares.  Next iteration: replace
+   the manual DMA (double-buffered PrefetchScalarGridSpec pipelining, or a
+   layout where standard disjoint BlockSpecs suffice), and note the
+   per-kernel-row DMA re-reads ~kh x the input bytes vs a single halo copy
+   — fold back to one halo fetch once the fault is gone.
 
 Why: the khgemm lowering (tpumix/ops/conv_khgemm.py) already fixes the
 MXU lane fill for the reference CNN's narrow layers, but under XLA the

@@ -131,8 +131,9 @@ def make_gain_train_step(
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
     def step(state: TrainState, stems: jax.Array, g_true: jax.Array, rng: jax.Array):
-        if stems.dtype == jnp.int16:
-            stems = stems.astype(jnp.float32) * (1.0 / 32768.0)
+        from tpumix.infer.mixer import _dequantize_on_device
+
+        stems = _dequantize_on_device(stems)
         drop_rng = jax.random.fold_in(rng, state.step)
         feats = _features(stems)  # [B, 4, F, T]
         feats = _constrain(feats, (dp_axis, None, None, None))
@@ -227,12 +228,13 @@ def make_train_step(
     _features = make_frontend_fn(frontend)
 
     def step(state: TrainState, stems: jax.Array, mix: jax.Array, rng: jax.Array):
-        # int16 PCM inputs dequantise on device (half the host->device bytes;
-        # lossless for 16-bit source material — same trick as the mixer)
-        if stems.dtype == jnp.int16:
-            stems = stems.astype(jnp.float32) * (1.0 / 32768.0)
-        if mix.dtype == jnp.int16:
-            mix = mix.astype(jnp.float32) * (1.0 / 32768.0)
+        # quantised wire formats dequantise on device (int16 PCM = half the
+        # host->device bytes, lossless for 16-bit sources; int8 mu-law = a
+        # quarter — same device decode as the mixer)
+        from tpumix.infer.mixer import _dequantize_on_device
+
+        stems = _dequantize_on_device(stems)
+        mix = _dequantize_on_device(mix)
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         if augment:
             # the reference augments ALL FIVE tracks with independent random

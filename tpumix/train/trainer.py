@@ -214,6 +214,21 @@ class Trainer:
                     np.clip(np.rint(np.asarray(b) * 32768.0), -32768, 32767).astype(np.int16)
                     for b in batch
                 )
+        elif self.config.transfer_dtype == "mulaw8":
+            from tpumix.infer.mixer import _mulaw_lut
+
+            lut = _mulaw_lut()
+
+            def transform(batch):
+                return tuple(
+                    lut[np.clip(np.rint(np.asarray(b) * 32768.0), -32768, 32767)
+                        .astype(np.int32) + 32768]
+                    for b in batch
+                )
+        elif self.config.transfer_dtype != "float32":
+            raise ValueError(
+                f"unknown transfer_dtype {self.config.transfer_dtype!r}"
+            )
 
         it = iter(loader)
         if self.mesh is None:
