@@ -40,7 +40,7 @@ def song():
 
 
 class TestShippedCheckpoint:
-    @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth"])
+    @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth", "scalar2s_synth"])
     def test_artifact_exists_and_loads(self, name):
         path = checkpoint_path(name)
         assert os.path.getsize(path) > 1_000_000  # real weights, not a stub
@@ -63,10 +63,13 @@ class TestShippedCheckpoint:
             out = sm.push(np.stack([presented[s][k * C:(k + 1) * C] for s in STEMS]))
             assert out.shape == (C,) and np.all(np.isfinite(out))
 
-    def test_low_latency_quality_record(self):
+    @pytest.mark.parametrize("stats_name", ["stats_scalar1sL.csv", "stats_scalar2s.csv"])
+    def test_companion_quality_records(self, stats_name):
+        """The 1 s low-latency AND the reference-parity-architecture records
+        must both beat every baseline."""
         path = os.path.join(
             os.path.dirname(__file__), "..", "docs", "results", "synthetic_eval",
-            "stats_scalar1sL.csv",
+            stats_name,
         )
         with open(path) as f:
             rows = list(csv.DictReader(f))

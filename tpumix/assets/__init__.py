@@ -17,6 +17,14 @@ reference's 2.1715 record on MUSDB18 (reference evaluation.py:197-198).
 1 s chunks: half the streaming latency), same recipe; held-out record
 **0.16** on the same sweep (docs/results/synthetic_eval/stats_scalar1sL.csv).
 
+``scalar2s_synth.npz`` — the EXACT reference architecture
+(MixingModelScalar2s, no tpumix extensions; reference model_scalar_2s.py),
+same recipe; held-out record **0.24**
+(docs/results/synthetic_eval/stats_scalar2s.csv).  Demonstrates that the
+reference's own parity model trains to a baseline-beating mixer under the
+label-supervised objective — the level-aware variants converge faster and
+score better (0.17/0.16) but are not required.
+
 Reproduce with::
 
     python -m tpumix train-synth --model scalar2sL --loss gain \\
