@@ -195,3 +195,28 @@ class TestStreamingEndpoint:
         b = svc.make_streaming()
         assert a._mixer is b._mixer
         assert a is not b  # smoothing state is per-connection
+
+
+def test_oversized_request_chunk_rejected(server):
+    """A client-declared chunk header like 'ffffffff' must close the
+    connection promptly instead of buffering ~4 GB (round-2 advisor
+    finding; tpumix/serve.py MAX_REQUEST_CHUNK_BYTES)."""
+    import socket
+
+    host, port = server
+    s = socket.create_connection((host, port), timeout=30)
+    try:
+        s.sendall(
+            b"POST /stream HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\nffffffff\r\n"
+        )
+        s.settimeout(30)
+        total = 0
+        while True:
+            d = s.recv(65536)
+            if not d:
+                break
+            total += len(d)
+            assert total < 1 << 20  # only headers/error, never a huge buffer
+    finally:
+        s.close()

@@ -526,3 +526,49 @@ class TestMulawTraining:
 
         with pytest.raises(ValueError, match="transfer_dtype"):
             tr.fit(Loader(), Loader(), 0, 1)
+
+
+class TestLossValidation:
+    def test_gain_loss_rejected_outside_synthetic_trainer(self):
+        """Library API parity with the CLI guard: loss='gain' needs generator
+        labels only SyntheticTrainer supplies — make_train_step must raise
+        rather than silently training the 'reference' objective."""
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        with pytest.raises(ValueError, match="gain"):
+            make_train_step(model, FRONTEND, tx, loss="gain")
+        with pytest.raises(ValueError, match="loss"):
+            make_eval_step(model, FRONTEND, loss="nonsense")
+
+
+class TestEvalUsesTrainingFrontend:
+    def test_eval_step_matches_train_features_pallas(self, data):
+        """make_eval_step must judge the SAME features training saw: with
+        implementation='pallas' the eval loss equals a hand-built eval pass
+        over make_frontend_fn features exactly (not just to fft-vs-pallas
+        conformance noise)."""
+        import dataclasses
+
+        from tpumix.train.state import make_frontend_fn
+
+        fe = dataclasses.replace(FRONTEND, implementation="pallas")
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        stems, mix = data[0]
+
+        loss = float(jax.jit(make_eval_step(model, fe))(
+            state, jnp.asarray(stems), jnp.asarray(mix)))
+
+        _features = make_frontend_fn(fe)
+
+        def manual(state, stems, mix):
+            feats = _features(stems)
+            gt = _features(mix)
+            masked, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                feats, train=False)
+            return jnp.mean(jnp.square(masked - gt))
+
+        expected = float(jax.jit(manual)(state, jnp.asarray(stems), jnp.asarray(mix)))
+        assert loss == pytest.approx(expected, rel=1e-6, abs=0.0)

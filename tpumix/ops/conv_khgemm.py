@@ -14,8 +14,12 @@ dimension is ``kh * C_out`` instead of ``C_out``:
 
 The single matmul covers every kernel row at once (lane fill 160/240/448
 instead of 32/48/64 for the reference's conv2/3/4), and the epilogue is a
-cheap VPU shifted add.  Numerically identical to lax.conv (same f32
-accumulation per output element, summands reassociated).
+cheap VPU shifted add.  The GEMM always requests f32 accumulation
+(``preferred_element_type``) and the kh shifted adds run in f32 even when
+inputs are bf16, so the only deviation from lax.conv is f32 summand
+reassociation — the bf16 path no longer rounds kh partials before adding
+(round-2 advisor finding); the result is cast back to the input dtype at
+the end.
 
 Scope: stride 1, dilation 1, VALID — exactly the reference trunk's conv2..5.
 Strided/dilated layers (conv1) fall back to lax.conv; they are a rounding
@@ -44,11 +48,15 @@ def conv2d_valid_khgemm(x: jax.Array, w: jax.Array) -> jax.Array:
     cols = jnp.concatenate([x[:, :, j : j + Wo, :] for j in range(kw)], axis=-1)
     # weights: [kh, kw, Cin, Cout] -> [kw*Cin, kh*Cout]
     w2 = jnp.transpose(w, (1, 2, 0, 3)).reshape(kw * Cin, kh * Cout)
-    part = (cols @ w2).reshape(N, H, Wo, kh, Cout)
+    # f32 MXU accumulation + f32 shifted adds regardless of input dtype (bf16
+    # inputs would otherwise round each kh partial before summation)
+    part = jnp.matmul(cols, w2, preferred_element_type=jnp.float32).reshape(
+        N, H, Wo, kh, Cout
+    )
     out = part[:, 0:Ho, :, 0]
     for i in range(1, kh):
         out = out + part[:, i : i + Ho, :, i]
-    return out
+    return out.astype(x.dtype)
 
 
 def conv2d(

@@ -41,6 +41,12 @@ import numpy as np
 
 STEMS: Tuple[str, ...] = ("bass", "drums", "vocals", "other")
 
+# Upper bound on a single client-declared HTTP request chunk (the wire
+# protocol's natural unit is one 4-stem float32 audio block, well under 2 MB
+# even for the 2 s model — 8 MB leaves generous headroom without letting one
+# connection buffer gigabytes).
+MAX_REQUEST_CHUNK_BYTES = 8 * 1024 * 1024
+
 
 def encode_stems_wav(tracks: dict, sr: int = 44100) -> bytes:
     """Pack a stem dict (each ``[channels, S]`` or ``[S]``) into one WAV with
@@ -176,6 +182,13 @@ def make_handler(service: MixingService, model_name: str):
                 if size == 0:
                     self.rfile.readline()  # trailing CRLF after last-chunk
                     return
+                if size > MAX_REQUEST_CHUNK_BYTES:
+                    # a client-declared header like 'ffffffff' would otherwise
+                    # buffer ~4 GB per connection on this threaded server
+                    raise ValueError(
+                        f"request chunk of {size} bytes exceeds the "
+                        f"{MAX_REQUEST_CHUNK_BYTES}-byte cap"
+                    )
                 data = self.rfile.read(size)
                 self.rfile.read(2)  # CRLF
                 yield data

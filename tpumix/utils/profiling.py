@@ -111,18 +111,26 @@ def measure_throughput(
             return args
         return tuple(_perturb(a, rep) for a in args)
 
-    for w in range(warmup):
-        force(fn(*_args_for(-1 - w)))
-    # materialise every rep's inputs BEFORE the timing loop: a lazily
-    # dispatched jnp.roll would otherwise execute inside the timed region
-    variants = [_args_for(rep + 1) for rep in range(reps)]
-    for a in variants:
+    def _materialise(a: tuple) -> tuple:
+        # a lazily dispatched jnp.roll would otherwise execute inside the
+        # timed region
         for x in a:
             if isinstance(x, jax.Array):
                 force(x)
+        return a
+
+    for w in range(warmup):
+        force(fn(*_args_for(-1 - w)))
+    # double-buffered variants: rep N+1's perturbed inputs are prepared while
+    # rep N is timed, so at most TWO copies of the (possibly large,
+    # device-resident) arguments are alive at once — materialising all reps
+    # up-front held reps x the HBM footprint (round-2 advisor finding)
     best = float("inf")
-    for a in variants:
+    current = _materialise(_args_for(1))
+    for rep in range(reps):
         tic = time.perf_counter()
-        force(fn(*a))
+        force(fn(*current))
         best = min(best, time.perf_counter() - tic)
+        if rep + 1 < reps:
+            current = _materialise(_args_for(rep + 2))
     return {"seconds": best, "audio_s_per_s": audio_seconds / best}
