@@ -19,6 +19,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -72,6 +73,62 @@ class KhGemmConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+def fused_min_cout() -> int:
+    """Output-channel threshold splitting the two fused Pallas conv-block
+    variants under ``conv_impl="pallas"``: blocks with ``Cout >=`` this use
+    the per-kernel-row-dot kernel (full MXU lanes at 128 channels — conv5);
+    narrower blocks use the khgemm-packed variant whose ``kh*Cout`` output
+    packing fills the lanes the reference's 32/48/64-channel layers leave
+    idle (tpumix/ops/conv_block_pallas.py cost model; default pinned by the
+    docs/PERF.md segment measurements)."""
+    return int(os.environ.get("TPUMIX_FUSED_MIN_COUT", "128"))
+
+
+def fused_narrow_enabled() -> bool:
+    """Gate for routing narrow (< fused_min_cout) eligible blocks to the
+    khgemm-packed fused kernel; ``TPUMIX_FUSED_NARROW=0`` falls back to the
+    XLA khgemm lowering for those blocks."""
+    return os.environ.get("TPUMIX_FUSED_NARROW", "1") != "0"
+
+
+class _ConvParams(nn.Module):
+    """Parameter twin of ``nn.Conv(name='conv')``: declares the identical
+    {kernel, bias} tree without executing a convolution, so the fused Pallas
+    path interchanges checkpoints freely with the nn.Conv/KhGemmConv paths."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Parameter twin of ``nn.BatchNorm(name='bn')``: identical params
+    {scale, bias} and batch_stats {mean, var} trees, consumed by the
+    inference-time BN fold instead of a separate normalisation pass."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
 class ConvBlock2d(nn.Module):
     """Conv2d(VALID) -> BatchNorm -> ReLU -> Dropout(train-only)."""
 
@@ -89,12 +146,45 @@ class ConvBlock2d(nn.Module):
     # (ModelConfig.bn_momentum threads this through the registry).
     bn_momentum: float = BN_MOMENTUM
     # "xla" = lax.conv (default); "khgemm" = kh-unrolled GEMM lowering for
-    # narrow-channel MXU fill (tpumix/ops/conv_khgemm.py; params identical)
+    # narrow-channel MXU fill (tpumix/ops/conv_khgemm.py; params identical);
+    # "pallas" = fused conv+BN+ReLU Pallas kernel for wide inference blocks
+    # (tpumix/ops/conv_block_pallas.py; >= fused_min_cout() channels, stride
+    # 1/dilation 1, f32, eval mode — everything else falls to khgemm).
+    # All three declare IDENTICAL parameter trees.
     conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        if self.conv_impl == "khgemm":
+        if (
+            self.conv_impl == "pallas"
+            and not train
+            and self.strides == 1
+            and self.dilation == 1
+            and self.dtype == jnp.float32
+            and (self.features >= fused_min_cout() or fused_narrow_enabled())
+        ):
+            from tpumix.ops.conv_block_pallas import (
+                conv_block_fused,
+                conv_block_fused_khpack,
+                fold_batchnorm,
+            )
+
+            # wide blocks (conv5) fill the MXU with one dot per kernel row;
+            # narrow blocks use the khgemm lane packing with part in VMEM
+            fused = (
+                conv_block_fused
+                if self.features >= fused_min_cout()
+                else conv_block_fused_khpack
+            )
+            kernel, conv_bias = _ConvParams(
+                features=self.features, kernel_size=_pair(self.kernel_size), name="conv"
+            )(x.shape[-1])
+            gamma, beta, mean, var = _BNParams(name="bn")(self.features)
+            s, t = fold_batchnorm(conv_bias, gamma, beta, mean, var, BN_EPS)
+            # conv + BN + ReLU in one VMEM-resident pass; dropout is an
+            # eval-mode no-op
+            return fused(x, kernel, s, t)
+        if self.conv_impl in ("khgemm", "pallas"):
             x = KhGemmConv(
                 features=self.features,
                 kernel_size=_pair(self.kernel_size),

@@ -1,181 +1,353 @@
 """Fused Pallas conv-block kernel: VALID conv + folded BatchNorm + ReLU in
-one VMEM-resident pass.
+one VMEM-resident pass over MXU-aligned tiles.
 
-STATUS: EXPERIMENTAL — semantics verified in interpreter mode
-(tests/test_conv_block_pallas.py) but the compiled kernel currently FAULTS
-the TPU worker at production shapes, so it is wired into NO production path
-and :func:`conv_block_fused` refuses to run on a real TPU backend unless
-``TPUMIX_EXPERIMENTAL_PALLAS_CONV=1``.  Round-2 findings for the next
-iteration, in chronological order:
-
-1. a register-level ``jnp.concatenate`` of width-shifted VMEM slices is not
-   expressible ("offset mismatch on non-concat dimension") — window columns
-   cannot be built in-kernel from a plain row block;
-2. lane-offset DMA destinations (``cols.at[:, :, j*Cin:(j+1)*Cin]``) are
-   rejected for non-128-aligned lane slices — per-tap DMA gathers need
-   128-aligned channel groups;
-3. with XLA building the column matrix outside and the kernel reduced to
-   one aligned halo DMA + kh MXU dots + epilogue, the program compiles but
-   the worker crashes at runtime;
-4. the crash reproduces in the canonical grid-accumulation form (grid
-   (N, tiles, kh), output block as the K-loop accumulator, no
-   SUBLANE-OFFSET slices, 128-aligned DMA slices).  NOT yet eliminated as
-   suspects: the full-block VMEM reshapes that remain
-   (``cols[...].reshape(TH*Wo, K)`` / ``contrib.reshape``), and the manual
-   ``make_async_copy`` from an HBM-spec'd operand at a program_id-derived
-   offset, which every faulting variant shares.  Next iteration: replace
-   the manual DMA (double-buffered PrefetchScalarGridSpec pipelining, or a
-   layout where standard disjoint BlockSpecs suffice), and note the
-   per-kernel-row DMA re-reads ~kh x the input bytes vs a single halo copy
-   — fold back to one halo fetch once the fault is gone.
-
-Why: the khgemm lowering (tpumix/ops/conv_khgemm.py) already fixes the
-MXU lane fill for the reference CNN's narrow layers, but under XLA the
-window-column build, the kh-reduction and the BN/ReLU epilogue each cross
-fusion boundaries with HBM round trips.  This kernel does the whole block —
+Why: under XLA the khgemm lowering (tpumix/ops/conv_khgemm.py) materialises a
+``part`` buffer of ``kh x`` the layer output in HBM (the kh-unrolled GEMM
+result) and crosses fusion boundaries for the kh-reduction and the BN/ReLU
+epilogue — for the 128-channel conv5 (55 % of trunk FLOPs, reference
+model_scalar_1s.py:215) that is ~9 GB of HBM round trip per 64-chunk segment.
+This kernel computes
 
     y = relu( conv_valid(x, w) * scale + shift )
 
-(``scale``/``shift`` are the inference-time BN fold:
-``s = gamma / sqrt(var + eps)``, ``t = (bias - mean) * s + beta``) — on a
-``(batch, row-tile, kernel-row)`` grid entirely in VMEM:
+(``scale``/``shift`` are the inference-time BN fold, :func:`fold_batchnorm`)
+with NO intermediate ever visiting HBM: each grid step holds one row-tile of
+the input in VMEM, runs one MXU dot per kernel row against ``w2[i]``, and
+applies the epilogue in place.
 
-* XLA prebuilds the width-window column matrix (findings 1-2 below rule out
-  building it in-kernel); each grid step DMAs its TH-row slice at kernel-row
-  offset ``i``;
-* the kh reduction runs over the innermost grid dimension with the OUTPUT
-  block as accumulator (canonical Mosaic K-loop): one MXU dot per step
-  against ``w2[i] = [kw*Cin, Cout]``, f32 accumulation;
-* the BN/ReLU epilogue runs in-place on the final step — no intermediate
-  conv result ever visits HBM.
+Round-3 design (the round-2 kernel faulted the TPU worker; four earlier
+formulations are catalogued in git history): every construct the faulting
+variants shared is GONE —
 
-Scope: stride 1, dilation 1 (the reference trunk's conv2..5); inference
-only (BatchNorm folded with running statistics).  Training and strided
-layers use the khgemm / lax.conv paths.  Same reference lineage as the
-other lowerings: ConvBlock2d semantics, reference model_scalar_1s.py:151-190.
+* **no manual DMA** — the halo problem is solved OUTSIDE the kernel: XLA
+  prebuilds overlapping row-tiles (``xt[g] = rows [t*TH, t*TH+TH+kh-1)`` of
+  the width-window column matrix) so standard disjoint BlockSpecs suffice;
+* **no in-kernel reshape** — tiles are prebuilt FLAT as ``[R*Wop, Kp]`` with
+  ``Wop`` a sublane multiple (8 for f32), so the per-kernel-row operand is a
+  static sublane-offset slice ``x[i*Wop : i*Wop + TH*Wop]`` (offset always a
+  multiple of 8) feeding a plain 2-D ``jnp.dot``;
+* **no in-kernel concatenate** — the width windows are part of the same XLA
+  prebuild (lane dim zero-padded to the 128 tiling; zero columns meet zero
+  weight rows).
+
+Cost model (why this shape): one dot per kernel row keeps the MXU output
+dimension at ``Cout`` — a full 128 lanes for conv5, which is where the FLOPs
+are; narrow layers (32/48 channels) underfill the MXU this way and stay on
+the khgemm lowering, whose ``kh*Cout`` output packing fills lanes better.
+The model-level dispatch (``conv_impl="pallas"``, tpumix/models/blocks.py)
+routes each block to whichever lowering measures faster.
+
+Scope: stride 1, dilation 1 (the reference trunk's conv2..5); inference only
+(BatchNorm folded with running statistics); float32 (the conformance dtype).
+Training and strided/dilated layers use the khgemm / lax.conv paths.
+Reference lineage: ConvBlock2d semantics, model_scalar_1s.py:151-190.
 """
 
 from __future__ import annotations
 
 import functools
-import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# VMEM working-set budget for tile sizing (per-core VMEM is ~16 MB; leave
+# headroom for Mosaic's own buffers and the double-buffered pipeline)
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+# HBM budget for the haloed-tile prebuild.  A 64-chunk Scalar2s segment's
+# conv5 would otherwise materialise ~8 GB of xt next to the other layers'
+# intermediates and blow the 15.75 GB HBM (observed in round 3): batches
+# beyond the budget run through lax.map groups, bounding peak HBM at the
+# cost of serialising group prebuilds.
+_XT_BUDGET_BYTES = 2 * 1024 * 1024 * 1024
+
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _kernel(xc_hbm, w2_ref, s_ref, t_ref, out_ref, cols, sem, *, TH, kh, Wo, K, Cout):
-    """Grid = (N, n_tiles, kh): the kernel-row reduction runs over the
-    innermost grid dimension with the output block as the accumulator (the
-    canonical Mosaic K-loop shape) — no sublane-offset slices or reshapes of
-    VMEM values, which earlier formulations tripped on."""
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    i = pl.program_id(2)
-
-    dma = pltpu.make_async_copy(xc_hbm.at[b, pl.ds(t * TH + i, TH)], cols, sem)
-    dma.start()
-    dma.wait()
-
-    contrib = jnp.dot(
-        cols[...].reshape(TH * Wo, K), w2_ref[0], preferred_element_type=jnp.float32
-    ).reshape(TH, Wo, Cout)
-
-    @pl.when(i == 0)
-    def _init():
-        out_ref[0] = contrib
-
-    @pl.when(i > 0)
-    def _accum():
-        out_ref[0] += contrib
-
-    @pl.when(i == kh - 1)
-    def _epilogue():
-        out_ref[0] = jnp.maximum(out_ref[0] * s_ref[0] + t_ref[0], 0.0)
+def _pick_tile_rows(Ho: int, kh: int, Wop: int, Kp: int, Cout: int) -> int:
+    """Largest row-tile whose double-buffered working set fits the budget."""
+    lanes_out = _round_up(Cout, 128)
+    for th in (64, 48, 32, 24, 16, 8):
+        r = th + kh - 1
+        need = (
+            2 * (r * Wop * Kp) * 4  # input tile, double buffered
+            + kh * Kp * lanes_out * 4  # w2 (lanes pad to 128)
+            + 2 * (th * Wop * lanes_out) * 4  # output tile, double buffered
+            + (th * Wop * lanes_out) * 4  # accumulator value
+        )
+        if need <= _VMEM_BUDGET_BYTES:
+            return min(th, _round_up(Ho, 8))
+    return 8
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _flat_halo_tiles(
+    xg_batch: jax.Array,
+    *,
+    H: int,
+    W: int,
+    kh: int,
+    kw: int,
+    TH: int,
+    n_tiles: int,
+    R: int,
+    Wop: int,
+    K: int,
+    Kp: int,
+) -> jax.Array:
+    """XLA prebuild shared by both kernel variants: flat haloed row-tiles of
+    the width-window column matrix,
+    ``xt[n*t, r*Wop + w, j*Cin + c] = xp[n, t*TH + r, w + j, c]``."""
+    n = xg_batch.shape[0]
+    xf = xg_batch.astype(jnp.float32)
+    # width pad so every window slice j:j+Wop is in range (garbage columns
+    # at w >= Wo read zeros and are cropped after the kernel); row pad so
+    # the last tile + halo reads real memory
+    xp = jnp.pad(
+        xf, ((0, 0), (0, n_tiles * TH + kh - 1 - H), (0, Wop + kw - 1 - W), (0, 0))
+    )
+    rows = jnp.arange(n_tiles)[:, None] * TH + jnp.arange(R)[None, :]
+    xg = xp[:, rows]  # [n, n_tiles, R, Wp, Cin]
+    cols = jnp.concatenate(
+        [xg[:, :, :, j : j + Wop, :] for j in range(kw)], axis=-1
+    )  # [n, n_tiles, R, Wop, K]
+    cols = jnp.pad(cols, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Kp - K)))
+    return cols.reshape(n * n_tiles, R * Wop, Kp)
+
+
+def _kernel(xt_ref, w2_ref, s_ref, t_ref, out_ref, *, TH: int, kh: int, Wop: int):
+    """One row-tile: kh MXU dots (static sublane-offset slices of the flat
+    tile) accumulated in f32, then the folded-BN + ReLU epilogue in place."""
+    x = xt_ref[0]  # [R*Wop, Kp]
+    acc = jnp.dot(x[0 : TH * Wop, :], w2_ref[0], preferred_element_type=jnp.float32)
+    for i in range(1, kh):
+        acc = acc + jnp.dot(
+            x[i * Wop : i * Wop + TH * Wop, :],
+            w2_ref[i],
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = jnp.maximum(acc * s_ref[0] + t_ref[0], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
 def conv_block_fused(
     x: jax.Array,
     w: jax.Array,
     scale: jax.Array,
     shift: jax.Array,
-    tile_rows: int = 16,
+    tile_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """``relu(conv_valid(x, w) * scale + shift)`` — fused inference block.
 
     :param x: ``[N, H, W, Cin]`` (NHWC)
-    :param w: ``[kh, kw, Cin, Cout]`` (HWIO)
-    :param scale, shift: ``[Cout]`` folded BN affine (see module docstring)
+    :param w: ``[kh, kw, Cin, Cout]`` (HWIO), stride 1 / dilation 1
+    :param scale, shift: ``[Cout]`` folded BN affine (:func:`fold_batchnorm`)
+    :param tile_rows: output rows per grid step (default: largest that fits
+        the VMEM budget)
+    :param interpret: force Pallas interpreter mode (default: interpret
+        everywhere except real TPU backends)
     :return: ``[N, H-kh+1, W-kw+1, Cout]`` float32
     """
     N, H, W, Cin = x.shape
     kh, kw, _, Cout = w.shape
     Ho, Wo = H - kh + 1, W - kw + 1
+    Wop = _round_up(Wo, 8)  # sublane multiple -> flat-tile slices stay aligned
     K = kw * Cin
-    TH = min(tile_rows, Ho)
+    Kp = _round_up(K, 128)  # lane multiple -> one zero-padded lane group
+    TH = tile_rows or _pick_tile_rows(Ho, kh, Wop, Kp, Cout)
     n_tiles = -(-Ho // TH)
-    # pad rows so every tile (incl. its halo) reads real memory; padded
-    # output rows are sliced away at the end
-    H_pad = n_tiles * TH + kh - 1
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, H_pad - H), (0, 0), (0, 0)))
-    # width-window columns, built by XLA: [N, H_pad, Wo, kw*Cin]; the lane
-    # (last) dim is zero-padded to the 128 tiling so the halo DMA slices are
-    # aligned (zero columns hit zero weight rows — no numeric effect)
-    K_pad = _round_up(K, 128)
-    xc = jnp.concatenate([xp[:, :, j : j + Wo, :] for j in range(kw)], axis=-1)
-    xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 0), (0, K_pad - K)))
+    R = TH + kh - 1  # rows per tile incl. halo
 
+    if interpret is None:
+        from tpumix.utils.backend import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+
+    # weights: [kh, kw, Cin, Cout] -> [kh, kw*Cin, Cout]; lane order of the
+    # contraction (j*Cin + c) matches the cols concat below
     w2 = w.reshape(kh, K, Cout).astype(jnp.float32)
-    w2 = jnp.pad(w2, ((0, 0), (0, K_pad - K), (0, 0)))
-    K = K_pad
+    w2 = jnp.pad(w2, ((0, 0), (0, Kp - K), (0, 0)))
+    s2 = scale.reshape(1, Cout).astype(jnp.float32)
+    t2 = shift.reshape(1, Cout).astype(jnp.float32)
+    kernel = functools.partial(_kernel, TH=TH, kh=kh, Wop=Wop)
 
-    from tpumix.utils.backend import is_tpu_backend
-
-    if is_tpu_backend() and os.environ.get("TPUMIX_EXPERIMENTAL_PALLAS_CONV") != "1":
-        raise NotImplementedError(
-            "conv_block_fused is experimental and currently faults the TPU "
-            "worker at production shapes (see module docstring); set "
-            "TPUMIX_EXPERIMENTAL_PALLAS_CONV=1 to run it anyway.  Use the "
-            "khgemm lowering (tpumix/ops/conv_khgemm.py) in production."
+    def _core(xg_batch: jax.Array) -> jax.Array:
+        n = xg_batch.shape[0]
+        xt = _flat_halo_tiles(
+            xg_batch, H=H, W=W, kh=kh, kw=kw, TH=TH, n_tiles=n_tiles, R=R,
+            Wop=Wop, K=K, Kp=Kp,
         )
 
-    kernel = functools.partial(_kernel, TH=TH, kh=kh, Wo=Wo, K=K, Cout=Cout)
-    out = pl.pallas_call(
-        kernel,
-        grid=(N, n_tiles, kh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # manual halo DMA source
-            pl.BlockSpec((1, K, Cout), lambda b, t, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, t, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, t, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TH, Wo, Cout), lambda b, t, i: (b, t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((N, n_tiles * TH, Wo, Cout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TH, Wo, K), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * N * n_tiles * TH * Wo * kh * K * Cout,
-            bytes_accessed=4 * (N * H_pad * Wo * K + kh * K * Cout
-                                + N * n_tiles * TH * Wo * Cout),
-            transcendentals=0,
-        ),
-        interpret=not is_tpu_backend(),
-    )(xc, w2, scale.reshape(1, Cout).astype(jnp.float32),
-      shift.reshape(1, Cout).astype(jnp.float32))
-    return out[:, :Ho]
+        out = pl.pallas_call(
+            kernel,
+            grid=(n * n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, R * Wop, Kp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((kh, Kp, Cout), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Cout), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Cout), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, TH * Wop, Cout), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n * n_tiles, TH * Wop, Cout), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * n_tiles * TH * Wop * kh * Kp * Cout,
+                bytes_accessed=4
+                * (
+                    n * n_tiles * R * Wop * Kp
+                    + kh * Kp * Cout
+                    + n * n_tiles * TH * Wop * Cout
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xt, w2, s2, t2)
+        return out.reshape(n, n_tiles * TH, Wop, Cout)[:, :Ho, :Wo, :]
+
+    # bound the prebuild's HBM footprint: run oversize batches in lax.map
+    # groups (sequential, each with its own bounded xt)
+    per_n = n_tiles * R * Wop * Kp * 4
+    group = max(1, min(N, _XT_BUDGET_BYTES // max(per_n, 1)))
+    if group >= N:
+        return _core(x)
+    n_groups = -(-N // group)
+    xpad = jnp.pad(x, ((0, n_groups * group - N), (0, 0), (0, 0), (0, 0)))
+    y = jax.lax.map(_core, xpad.reshape(n_groups, group, H, W, Cin))
+    return y.reshape(n_groups * group, Ho, Wo, Cout)[:N]
+
+
+def _pick_tile_rows_khpack(Ho: int, kh: int, Wop: int, Kp: int, Cout: int) -> int:
+    """Row-tile for the khgemm-packed variant: the full ``part`` matrix
+    (``R*Wop x kh*Cout``) plus one live roll must fit next to the pipeline
+    buffers."""
+    lanes_part = _round_up(kh * Cout, 128)
+    lanes_out = _round_up(Cout, 128)
+    for th in (48, 32, 24, 16, 8):
+        r = th + kh - 1
+        need = (
+            2 * (r * Wop * Kp) * 4  # input tile, double buffered
+            + Kp * lanes_part * 4  # w2 packed
+            + 2 * (r * Wop * lanes_part) * 4  # part + one live rolled copy
+            + 2 * (th * Wop * lanes_out) * 4  # output tile, double buffered
+        )
+        if need <= _VMEM_BUDGET_BYTES:
+            return min(th, _round_up(Ho, 8))
+    return 8
+
+
+def _kernel_khpack(
+    xt_ref, w2_ref, s_ref, t_ref, out_ref, *, TH: int, kh: int, Wop: int, Cout: int
+):
+    """khgemm-packed tile: ONE MXU dot with output dimension ``kh*Cout``
+    (fills the 128 lanes the narrow reference layers leave idle — same idea
+    as tpumix/ops/conv_khgemm.py, but the ``part`` matrix lives in VMEM
+    instead of HBM), then the kh shifted-add reduction on the VPU.  Lane
+    alignment: slices must start at 128-multiples, so kernel rows are grouped
+    by ``(i*Cout) % 128`` and each distinct offset class is realigned with a
+    single ``pltpu.roll`` of ``part``."""
+    part = jnp.dot(
+        xt_ref[0], w2_ref[...], preferred_element_type=jnp.float32
+    )  # [R*Wop, kh*Cout]
+    acc = None
+    for off in sorted({(i * Cout) % 128 for i in range(kh)}):
+        # realign lanes: rolled[l] = part[l + off]  (shift must be
+        # non-negative, so rotate by width - off)
+        src = part if off == 0 else pltpu.roll(part, kh * Cout - off, axis=1)
+        for i in range(kh):
+            if (i * Cout) % 128 != off:
+                continue
+            base = i * Cout - off  # multiple of 128 by construction
+            sl = src[i * Wop : i * Wop + TH * Wop, base : base + Cout]
+            acc = sl if acc is None else acc + sl
+    out_ref[0] = jnp.maximum(acc * s_ref[0] + t_ref[0], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def conv_block_fused_khpack(
+    x: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    tile_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``relu(conv_valid(x, w) * scale + shift)`` for NARROW layers
+    (``Cout < 128``): khgemm lane packing with the ``part`` matrix kept in
+    VMEM.  Same contract as :func:`conv_block_fused`."""
+    N, H, W, Cin = x.shape
+    kh, kw, _, Cout = w.shape
+    Ho, Wo = H - kh + 1, W - kw + 1
+    Wop = _round_up(Wo, 8)
+    K = kw * Cin
+    Kp = _round_up(K, 128)
+    TH = tile_rows or _pick_tile_rows_khpack(Ho, kh, Wop, Kp, Cout)
+    n_tiles = -(-Ho // TH)
+    R = TH + kh - 1
+
+    if interpret is None:
+        from tpumix.utils.backend import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+
+    # [kh, kw, Cin, Cout] -> [kw*Cin, kh*Cout]: row index j*Cin+c matches the
+    # cols lane order; column index i*Cout+o is the packed part layout
+    w2 = jnp.transpose(w, (1, 2, 0, 3)).reshape(K, kh * Cout).astype(jnp.float32)
+    w2 = jnp.pad(w2, ((0, Kp - K), (0, 0)))
+    s2 = scale.reshape(1, Cout).astype(jnp.float32)
+    t2 = shift.reshape(1, Cout).astype(jnp.float32)
+    kernel = functools.partial(_kernel_khpack, TH=TH, kh=kh, Wop=Wop, Cout=Cout)
+
+    def _core(xg_batch: jax.Array) -> jax.Array:
+        n = xg_batch.shape[0]
+        xt = _flat_halo_tiles(
+            xg_batch, H=H, W=W, kh=kh, kw=kw, TH=TH, n_tiles=n_tiles, R=R,
+            Wop=Wop, K=K, Kp=Kp,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n * n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, R * Wop, Kp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((Kp, kh * Cout), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Cout), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Cout), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, TH * Wop, Cout), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n * n_tiles, TH * Wop, Cout), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * n_tiles * R * Wop * Kp * kh * Cout,
+                bytes_accessed=4
+                * (
+                    n * n_tiles * R * Wop * Kp
+                    + Kp * kh * Cout
+                    + n * n_tiles * TH * Wop * Cout
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xt, w2, s2, t2)
+        return out.reshape(n, n_tiles * TH, Wop, Cout)[:, :Ho, :Wo, :]
+
+    per_n = n_tiles * R * Wop * Kp * 4
+    group = max(1, min(N, _XT_BUDGET_BYTES // max(per_n, 1)))
+    if group >= N:
+        return _core(x)
+    n_groups = -(-N // group)
+    xpad = jnp.pad(x, ((0, n_groups * group - N), (0, 0), (0, 0), (0, 0)))
+    y = jax.lax.map(_core, xpad.reshape(n_groups, group, H, W, Cin))
+    return y.reshape(n_groups * group, Ho, Wo, Cout)[:N]
 
 
 def fold_batchnorm(
