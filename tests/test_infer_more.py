@@ -214,3 +214,59 @@ def test_mean_loudness_model_silent_stem_no_nan():
     assert np.all(np.isfinite(out["other"]))
     np.testing.assert_array_equal(out["other"], tracks["other"])
     assert np.all(np.isfinite(out["bass"]))
+
+
+class TestInt12Transfer:
+    def test_int12_pack_roundtrip(self):
+        """Device decode inverts the host 12-bit pack to within half an LSB
+        of the per-row peak scale."""
+        import jax.numpy as jnp
+
+        from tpumix.infer.mixer import _dequantize_on_device, _pack_int12
+
+        rng = np.random.default_rng(0)
+        x = (0.3 * rng.standard_normal((4, 2000))).astype(np.float32)
+        wire, scales = _pack_int12(x)
+        assert wire.shape == (4, 3000) and wire.dtype == np.uint8
+        dec = np.asarray(_dequantize_on_device(jnp.asarray(wire), jnp.asarray(scales)))
+        lsb = scales[:, None] / 2047.0
+        assert np.all(np.abs(dec - x) <= 0.5 * lsb + 1e-7)
+
+    def test_int12_gain_deviation_bounded(self, song):
+        """Measured gain deviation of the 0.75x-int16 wire format vs float32
+        (the docs/PERF.md deviation-vs-bits record; tripwire, not the 1e-3
+        conformance budget)."""
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512)
+        stems = np.stack([song[t] for t in STEMS])
+        g_f32 = SongMixer(model, variables, cfg, transfer_dtype="float32").song_gains(stems)
+        g_12 = SongMixer(model, variables, cfg, transfer_dtype="int12").song_gains(stems)
+        dev = np.abs(g_12 - g_f32)
+        assert dev.max() < 1.0  # dB-domain scalars; far tighter than mu-law's ~2
+        assert dev.mean() < 0.3
+
+
+class TestOverlappedSegmentPipeline:
+    def test_multi_segment_equals_single_segment(self, song):
+        """The background-packer pipeline (multiple 2-chunk segments) must
+        reproduce the one-big-segment gains to float noise — chunks are
+        independent, so segmentation only changes the compiled batch shape
+        (reduction order), never the math."""
+        from tpumix.config import MixConfig
+
+        model = MixingModelScalar2s()
+        variables = model.init(
+            jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
+        )
+        cfg = ModelConfig(name="scalar2s", chunk_length_s=2.0, hop_length=512)
+        stems = np.stack([song[t] for t in STEMS])
+        g_one = SongMixer(
+            model, variables, cfg, mix_cfg=MixConfig(chunk_length_s=2.0, max_chunks=16)
+        ).song_gains(stems)
+        g_seg = SongMixer(
+            model, variables, cfg, mix_cfg=MixConfig(chunk_length_s=2.0, max_chunks=2)
+        ).song_gains(stems)
+        np.testing.assert_allclose(g_one, g_seg, atol=1e-5, rtol=1e-5)

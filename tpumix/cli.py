@@ -375,7 +375,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="conv compute dtype (bfloat16: ~1.4x faster, "
                              "~0.01 dB gain deviation)")
         sp.add_argument("--seed", type=int, default=0)
-        sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "mulaw8"])
+        sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "int12", "mulaw8"])
         if checkpoint:
             sp.add_argument("--checkpoint", default="", help="Orbax checkpoint dir")
 
@@ -508,7 +508,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     sp.add_argument("--checkpoint", default="")
-    sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "mulaw8"])
+    sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "int12", "mulaw8"])
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
     sp.set_defaults(fn=cmd_serve)
