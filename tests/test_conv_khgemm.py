@@ -112,3 +112,33 @@ class TestAutoResolution:
 
         cfg = dataclasses.replace(ModelConfig(name="scalar1s"), conv_impl="khgemm")
         assert build_model(cfg, for_training=True).conv_impl == "khgemm"
+
+
+class TestCustomVJP:
+    @pytest.mark.parametrize("xs,ws", [
+        ((2, 20, 15, 8), (5, 5, 8, 16)),
+        ((1, 17, 11, 4), (3, 7, 4, 12)),
+        ((2, 25, 12, 6), (9, 9, 6, 10)),
+    ])
+    def test_gradients_match_lax_conv_autodiff(self, xs, ws):
+        """The hand-derived khgemm VJP (dense transpose conv + per-row GEMM
+        dw) must equal XLA's autodiff of lax.conv to f32 noise."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(xs), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(ws) * 0.1, jnp.float32)
+        g_seed = jnp.asarray(rng.standard_normal((1,)), jnp.float32)
+
+        def loss_kh(x, w):
+            y = conv2d_valid_khgemm(x, w)
+            return jnp.sum(jnp.sin(y * 0.1) * g_seed)
+
+        def loss_lax(x, w):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return jnp.sum(jnp.sin(y * 0.1) * g_seed)
+
+        (dx1, dw1) = jax.grad(loss_kh, argnums=(0, 1))(x, w)
+        (dx2, dw2) = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), rtol=2e-4, atol=2e-4)

@@ -638,3 +638,38 @@ class TestProductionShapeMesh:
         mesh = mk((8,), ("sp",))
         sharded = SongMixer(model, variables, cfg, mesh=mesh, chunk_axis="sp").song_gains(stems)
         np.testing.assert_allclose(plain, sharded, atol=1e-4)
+
+
+class TestSelfSupervisedObjectiveBias:
+    def test_incoherent_sum_biases_optimum_below_true_gains(self):
+        """Pin the measured bias of the self-supervised objectives on the
+        synthetic family (train/state.py's 'several dB' claim): magnitude
+        spectrograms of overlapping stems add incoherently, so |X_mix| <
+        sum_s g_s |X_s| and the roundtrip loss is minimised by gains BELOW
+        the generator's true gains.  The test scans a shared offset delta on
+        the true gains and asserts the optimum sits 1-8 dB low."""
+        from tpumix.data.synthetic import synth_chunk_batch
+        from tpumix.ops.stft import spectrogram_features
+        from tpumix.train.state import _roundtrip_masked_db
+
+        fe = FrontendConfig()  # production frontend: 2048/512... (hop below)
+        import dataclasses
+
+        fe = dataclasses.replace(fe, hop_length=512)
+        stems, mix, g_true = synth_chunk_batch(
+            jax.random.key(0), 8, 44100, 44100, return_gains=True
+        )
+        feats = spectrogram_features(stems, fe)
+        gt = spectrogram_features(mix, fe)
+
+        def loss(delta):
+            gains = g_true + delta  # model-scalar domain: 1 unit = 10 dB
+            masked = _roundtrip_masked_db(feats, gains, fe.amin)
+            return float(jnp.mean(jnp.square(masked - gt)))
+
+        deltas = np.linspace(-1.0, 0.3, 27)  # -10 dB .. +3 dB
+        losses = [loss(float(d)) for d in deltas]
+        best_db = 10.0 * deltas[int(np.argmin(losses))]
+        assert -8.0 <= best_db <= -1.0, f"optimum offset {best_db:.2f} dB"
+        # and the true gains are measurably NOT the optimum
+        assert loss(0.0) > min(losses) * 1.02

@@ -110,8 +110,12 @@ def _flat_halo_tiles(
     xp = jnp.pad(
         xf, ((0, 0), (0, n_tiles * TH + kh - 1 - H), (0, Wop + kw - 1 - W), (0, 0))
     )
-    rows = jnp.arange(n_tiles)[:, None] * TH + jnp.arange(R)[None, :]
-    xg = xp[:, rows]  # [n, n_tiles, R, Wp, Cin]
+    # STATIC slices, not an index-array gather: XLA lowers these to dense
+    # full-bandwidth copies, while a gather runs an order of magnitude slower
+    # on TPU (measured 54 ms vs ~6 ms for one layer's prebuild)
+    xg = jnp.stack(
+        [xp[:, t * TH : t * TH + R] for t in range(n_tiles)], axis=1
+    )  # [n, n_tiles, R, Wp, Cin]
     cols = jnp.concatenate(
         [xg[:, :, :, j : j + Wop, :] for j in range(kw)], axis=-1
     )  # [n, n_tiles, R, Wop, K]

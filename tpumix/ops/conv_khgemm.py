@@ -34,13 +34,7 @@ import jax
 import jax.numpy as jnp
 
 
-def conv2d_valid_khgemm(x: jax.Array, w: jax.Array) -> jax.Array:
-    """VALID convolution, stride 1, dilation 1.
-
-    :param x: ``[N, H, W, C_in]`` (NHWC)
-    :param w: ``[kh, kw, C_in, C_out]`` (HWIO)
-    :return: ``[N, H-kh+1, W-kw+1, C_out]``
-    """
+def _khgemm_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     N, H, W, Cin = x.shape
     kh, kw, _, Cout = w.shape
     Ho, Wo = H - kh + 1, W - kw + 1
@@ -57,6 +51,67 @@ def conv2d_valid_khgemm(x: jax.Array, w: jax.Array) -> jax.Array:
     for i in range(1, kh):
         out = out + part[:, i : i + Ho, :, i]
     return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def conv2d_valid_khgemm(x: jax.Array, w: jax.Array) -> jax.Array:
+    """VALID convolution, stride 1, dilation 1.
+
+    :param x: ``[N, H, W, C_in]`` (NHWC)
+    :param w: ``[kh, kw, C_in, C_out]`` (HWIO)
+    :return: ``[N, H-kh+1, W-kw+1, C_out]``
+
+    Carries a hand-derived VJP: XLA's autodiff of the width-window concat
+    produces a scatter-add data gradient that made the khgemm backward SLOWER
+    than lax.conv's (287 vs 235 ms/step at batch 48x2s, round-2 docs/PERF.md).
+    The custom backward is dense:
+
+    * ``dx`` = the transpose convolution expressed as another khgemm VALID
+      conv — full-correlate the (kh-1, kw-1)-padded cotangent with the
+      spatially flipped, channel-transposed kernel;
+    * ``dw`` = one MXU GEMM per kernel row contracting the (batch, H, W)
+      axes of the rebuilt width windows against the cotangent.
+    """
+    return _khgemm_impl(x, w)
+
+
+def _khgemm_fwd(x, w):
+    return _khgemm_impl(x, w), (x, w)
+
+
+def _khgemm_bwd(res, g):
+    x, w = res
+    N, H, W, Cin = x.shape
+    kh, kw, _, Cout = w.shape
+    Ho, Wo = H - kh + 1, W - kw + 1
+
+    # dx: VALID khgemm conv of the zero-padded cotangent with the 180deg-
+    # rotated, in/out-channel-swapped kernel (the dense transpose conv)
+    gp = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1), (0, 0)))
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))  # [kh, kw, Cout, Cin]
+    dx = _khgemm_impl(gp, w_flip)
+
+    # dw[i, j, ci, co] = sum_{n,h,w} x[n, h+i, w+j, ci] * g[n, h, w, co]:
+    # per kernel row, one GEMM over the flattened (n, h, w) contraction
+    dws = []
+    for i in range(kh):
+        xi = x[:, i : i + Ho]
+        cols_i = jnp.concatenate(
+            [xi[:, :, j : j + Wo, :] for j in range(kw)], axis=-1
+        )  # [N, Ho, Wo, kw*Cin]
+        dws.append(
+            jax.lax.dot_general(
+                cols_i.reshape(-1, kw * Cin),
+                g.reshape(-1, Cout),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [kw*Cin, Cout]
+    dw = jnp.stack(dws).reshape(kh, kw, Cin, Cout)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv2d_valid_khgemm.defvjp(_khgemm_fwd, _khgemm_bwd)
 
 
 def conv2d(
