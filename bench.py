@@ -83,6 +83,8 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     songs = [song] + [
         make_song(dur, seed=100 + k) for k in range(n_songs - 1)
     ]
+    bytes_per_sample = {"float32": 4, "int16": 2, "int12": 1.5, "mulaw8": 1}[transfer]
+    wire_mb_per_song = len(STEMS) * len(song["bass"]) * bytes_per_sample / 1e6
 
     # warm-up compiles the (fixed-shape) segment program with a tiny song —
     # identical executables, 40x fewer bytes through the congestible relay
@@ -107,8 +109,13 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
             break
 
     # device-compute-only rate (data resident), for the bandwidth-wall record:
-    # warm-up and every timed call each use a DIFFERENT device-resident buffer
-    # (runtime memoization would otherwise fake the number)
+    # every call uses a DIFFERENT device-resident buffer (runtime memoization
+    # would otherwise fake the number).  Measured in PIPELINED form — K
+    # segment programs dispatched asynchronously, forced once — because that
+    # is how the production path runs (song_gains_async queues segments
+    # back-to-back) and because a single synchronous call through this
+    # environment's remote tunnel carries a ~27-37 ms host round-trip that
+    # the device never sees (measured round 3, docs/PERF.md).
     import jax.numpy as jnp
 
     stems = np.stack([song[t] for t in STEMS])
@@ -116,19 +123,33 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     C = mixer.chunk_samples
     need = seg * C
     base = np.tile(stems, (1, -(-need // stems.shape[1])))[:, :need].astype(np.float32)
+    K = 8
     bufs = []
-    for k in range(4):
+    for k in range(K + 1):
         bufs.append(jax.device_put(jnp.asarray(np.roll(base, 7919 * k + 1, axis=1))))
     np.asarray(mixer._gains_fn(bufs[0], seg))  # warm-up; host transfer is the
-    resident = 0.0                             # only trustworthy fence here
-    for x in bufs[1:]:
-        tic = time.perf_counter()
-        np.asarray(mixer._gains_fn(x, seg))
-        resident = max(resident, (seg * cfg.chunk_length_s) / (time.perf_counter() - tic))
+    # single-call rate (pays the full tunnel RTT)  # only trustworthy fence
+    tic = time.perf_counter()
+    np.asarray(mixer._gains_fn(bufs[1], seg))
+    single = (seg * cfg.chunk_length_s) / (time.perf_counter() - tic)
+    # pipelined rate: K async dispatches, one fence
+    tic = time.perf_counter()
+    handles = [mixer._gains_fn(x, seg) for x in bufs[1:]]
+    for h in handles:
+        np.asarray(h)
+    resident = (K * seg * cfg.chunk_length_s) / (time.perf_counter() - tic)
+    print(
+        f"[bench detail] device-resident single-call {single:.0f} audio-s/s "
+        f"(includes one tunnel round-trip); pipelined x{K} {resident:.0f} audio-s/s",
+        file=sys.stderr,
+    )
+    link_rate = wire_mb_per_song / best
     print(
         f"[bench detail] end-to-end {dur / best:.1f} audio-s/s; "
-        f"device-resident compute {resident:.0f} audio-s/s "
-        f"(host->device link is the binding constraint in this environment)",
+        f"device-resident compute {resident:.0f} audio-s/s; "
+        f"measured link throughput {link_rate:.1f} MB/s "
+        f"({100 * link_rate / 40.0:.0f}% of the ~40 MB/s sustained tunnel rate "
+        f"- the binding constraint in this environment)",
         file=sys.stderr,
     )
     return dur / best, resident

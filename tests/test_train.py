@@ -673,3 +673,39 @@ class TestSelfSupervisedObjectiveBias:
         assert -8.0 <= best_db <= -1.0, f"optimum offset {best_db:.2f} dB"
         # and the true gains are measurably NOT the optimum
         assert loss(0.0) > min(losses) * 1.02
+
+
+class TestCoherentLoss:
+    def test_coherent_optimum_is_true_gains(self):
+        """Waveform-domain self-supervision is identifiable: on exact
+        gain-weighted synthetic sums the loss at the true gains is (near)
+        zero and any shared offset strictly increases it — the property the
+        magnitude objectives lack (TestSelfSupervisedObjectiveBias)."""
+        from tpumix.data.synthetic import synth_chunk_batch
+
+        stems, mix, g_true = synth_chunk_batch(
+            jax.random.key(1), 4, 12000, 44100, return_gains=True
+        )
+
+        def loss(delta):
+            amp = 10.0 ** (0.5 * (g_true + delta))
+            mix_pred = jnp.einsum("bst,bs->bt", stems, amp)
+            return float(jnp.mean(jnp.square(mix_pred - mix)) / jnp.mean(jnp.square(mix)))
+
+        at_true = loss(0.0)
+        assert at_true < 1e-6
+        for d in (-0.3, -0.1, 0.1, 0.3):
+            assert loss(d) > at_true + 1e-3
+
+    def test_coherent_step_descends(self, data):
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_train_step(model, FRONTEND, tx, loss="coherent"))
+        ev = jax.jit(make_eval_step(model, FRONTEND, loss="coherent"))
+        stems, mix = data[0]
+        l0 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
+        for i in range(20):
+            state, m = step(state, jnp.asarray(stems), jnp.asarray(mix), jax.random.key(2))
+        l1 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
+        assert np.isfinite(l1) and l1 < l0

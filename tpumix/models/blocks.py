@@ -163,19 +163,21 @@ class ConvBlock2d(nn.Module):
             and self.dtype == jnp.float32
             and (self.features >= fused_min_cout() or fused_narrow_enabled())
         ):
-            from tpumix.ops.conv_block_pallas import (
-                conv_block_fused,
-                conv_block_fused_khpack,
-                fold_batchnorm,
-            )
+            from tpumix.ops import conv_block_pallas as cbp
 
             # wide blocks (conv5) fill the MXU with one dot per kernel row;
-            # narrow blocks use the khgemm lane packing with part in VMEM
-            fused = (
-                conv_block_fused
-                if self.features >= fused_min_cout()
-                else conv_block_fused_khpack
-            )
+            # narrow blocks use the khgemm lane packing with part in VMEM.
+            # v2 (default) reads two adjacent tiles instead of materialised
+            # halos; TPUMIX_FUSED_V=1 selects the haloed-tile kernels.
+            from tpumix.ops.conv_block_pallas import fold_batchnorm
+
+            wide = self.features >= fused_min_cout()
+            if os.environ.get("TPUMIX_FUSED_V", "2") == "1":
+                fused = cbp.conv_block_fused if wide else cbp.conv_block_fused_khpack
+            else:
+                fused = (
+                    cbp.conv_block_fused_v2 if wide else cbp.conv_block_fused_khpack_v2
+                )
             kernel, conv_bias = _ConvParams(
                 features=self.features, kernel_size=_pair(self.kernel_size), name="conv"
             )(x.shape[-1])
