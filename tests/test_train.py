@@ -709,3 +709,55 @@ class TestCoherentLoss:
             state, m = step(state, jnp.asarray(stems), jnp.asarray(mix), jax.random.key(2))
         l1 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
         assert np.isfinite(l1) and l1 < l0
+
+
+class TestLstsqLoss:
+    def test_targets_recover_true_gains_on_exact_sums(self):
+        """On exact gain-weighted synthetic sums the closed-form projection
+        IS the generator's gains (to f32 solve noise)."""
+        from tpumix.data.synthetic import synth_chunk_batch
+        from tpumix.train.state import _lstsq_gain_targets
+
+        stems, mix, g_true = synth_chunk_batch(
+            jax.random.key(5), 6, 12000, 44100, return_gains=True,
+            context_mult=4, level_shift_db=(-14.0, 2.0),
+        )
+        g_star = _lstsq_gain_targets(stems, mix)
+        np.testing.assert_allclose(np.asarray(g_star), np.asarray(g_true),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_targets_on_inexact_mix_are_best_explanation(self):
+        """When the mix is NOT an exact weighted sum (real-corpus case), the
+        projection still minimises the residual: perturbing any target gain
+        increases the reconstruction error."""
+        from tpumix.train.state import _lstsq_gain_targets
+
+        rng = np.random.default_rng(0)
+        stems = jnp.asarray(rng.standard_normal((2, 4, 4000)), jnp.float32) * 0.2
+        true_amp = jnp.asarray(rng.uniform(0.5, 2.0, (2, 4)), jnp.float32)
+        mix = jnp.einsum("bst,bs->bt", stems, true_amp)
+        mix = mix + 0.05 * jnp.asarray(rng.standard_normal(mix.shape), jnp.float32)
+        g_star = _lstsq_gain_targets(stems, mix)
+        amp_star = 10.0 ** (0.5 * g_star)
+
+        def resid(amp):
+            return float(jnp.mean(jnp.square(jnp.einsum("bst,bs->bt", stems, amp) - mix)))
+
+        base = resid(amp_star)
+        for s in range(4):
+            for d in (-0.05, 0.05):
+                pert = amp_star.at[:, s].add(d)
+                assert resid(pert) > base
+
+    def test_lstsq_step_descends(self, data):
+        model = MixingModelScalar1s()
+        tx = adam_with_l2(1e-3, 1e-5)
+        state = create_train_state(model, jax.random.key(0), (1, 4, 129, 47), tx)
+        step = jax.jit(make_train_step(model, FRONTEND, tx, loss="lstsq"))
+        ev = jax.jit(make_eval_step(model, FRONTEND, loss="lstsq"))
+        stems, mix = data[0]
+        l0 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
+        for _ in range(25):
+            state, m = step(state, jnp.asarray(stems), jnp.asarray(mix), jax.random.key(2))
+        l1 = float(ev(state, jnp.asarray(stems), jnp.asarray(mix)))
+        assert np.isfinite(l1) and l1 < l0 * 0.8

@@ -390,7 +390,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent"],
+    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq"],
                     help="reference = dB-linear masked-sum MSE (parity); "
                          "roundtrip = gains supervised through the inference map")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
@@ -431,7 +431,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "gain"],
+    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "lstsq", "gain"],
                     help="gain (default): MSE against the generator's true "
                          "gain labels — the only per-stem-identifiable "
                          "objective on this family (spectrogram magnitudes of "

@@ -199,7 +199,41 @@ def make_gain_eval_step(model, frontend: FrontendConfig) -> Callable:
 #: (stems, mix) pairs in the WAVEFORM domain — predicted-gain-weighted stem
 #: sum vs the mix waveform — where phases add coherently and the optimum is
 #: exactly the mixing gains whenever the mix is a gain-weighted stem sum.
-SELF_SUPERVISED_LOSSES = ("reference", "roundtrip", "coherent")
+#: "coherent"'s failure mode (measured): gradients through the 10**(0.5 g)
+#: map die as a stem's amplitude approaches zero, so stems can collapse to
+#: silence and large true gains converge very slowly.  "lstsq" removes the
+#: optimisation pathology entirely: the per-item gains that best explain the
+#: mix as a weighted stem sum have a CLOSED FORM (4x4 normal equations,
+#: solved on-device per batch item), and the model is supervised on those
+#: self-computed targets in the scalar-gain domain — still strictly
+#: (stems, mix)-derived, identifiable, and as well-conditioned as label
+#: supervision.
+SELF_SUPERVISED_LOSSES = ("reference", "roundtrip", "coherent", "lstsq")
+
+
+def _lstsq_gain_targets(stems: jax.Array, mix: jax.Array) -> jax.Array:
+    """Per-item closed-form mixing gains: ``argmin_a || sum_s a_s stem_s -
+    mix ||^2`` via the 4x4 normal equations, mapped to the model-scalar
+    domain through the inverse of the reference inference map
+    (``amp = 10**(0.5 g)``, reference inference_utils.py:129).
+
+    :param stems: ``[B, S, T]`` waveforms; :param mix: ``[B, T]``.
+    :return: ``[B, S]`` scalar-gain targets (stop-gradient applied by the
+        caller's MSE — targets are data, not a differentiable path).
+    """
+    gram = jnp.einsum("bst,but->bsu", stems, stems)  # [B, S, S]
+    rhs = jnp.einsum("bst,bt->bs", stems, mix)  # [B, S]
+    # Tikhonov jitter scaled to the Gram diagonal keeps near-silent or
+    # collinear stems solvable
+    S = stems.shape[1]
+    jitter = 1e-6 * jnp.mean(
+        jnp.diagonal(gram, axis1=1, axis2=2), axis=1, keepdims=True
+    )[..., None] * jnp.eye(S)
+    amp = jnp.linalg.solve(gram + jitter, rhs[..., None])[..., 0]
+    # negative / tiny solutions (degenerate correlation) clamp to a quiet
+    # floor before the log map
+    amp = jnp.maximum(amp, 1e-3)
+    return 2.0 * jnp.log10(amp)
 
 
 def _check_loss(loss: str) -> None:
@@ -302,6 +336,10 @@ def make_train_step(
                     jnp.mean(jnp.square(mix)) + 1e-8
                 )
                 return value, (mutated["batch_stats"], gains)
+            if loss == "lstsq":
+                g_star = jax.lax.stop_gradient(_lstsq_gain_targets(stems, mix))
+                value = jnp.mean(jnp.square(gains - g_star))
+                return value, (mutated["batch_stats"], gains)
             if loss == "roundtrip":
                 masked = _roundtrip_masked_db(feats, gains, frontend.amin)
             value = jnp.mean(jnp.square(masked - gt))
@@ -346,6 +384,9 @@ def make_eval_step(model, frontend: FrontendConfig, loss: str = "reference") -> 
             return jnp.mean(jnp.square(mix_pred - mix)) / (
                 jnp.mean(jnp.square(mix)) + 1e-8
             )
+        if loss == "lstsq":
+            g_star = _lstsq_gain_targets(stems, mix)
+            return jnp.mean(jnp.square(gains - g_star))
         gt = _features(mix)
         if loss == "roundtrip":
             masked = _roundtrip_masked_db(feats, gains, frontend.amin)

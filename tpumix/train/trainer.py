@@ -52,6 +52,10 @@ class TrainResult:
 class Trainer:
     """Orchestrates training of a gain-prediction model on waveform batches."""
 
+    # label-supervised loss="gain" needs generator labels; only
+    # SyntheticTrainer (which installs its own fused steps) supports it
+    _supports_gain_loss = False
+
     def __init__(
         self,
         model,
@@ -81,11 +85,22 @@ class Trainer:
             model, jax.random.key(config.seed), input_shape, self.tx
         )
 
-        train_step = make_train_step(
-            model, frontend, self.tx, augment=config.augment, loss=config.loss
-        )
-        eval_step = make_eval_step(model, frontend, loss=config.loss)
-        if mesh is not None:
+        if config.loss == "gain" and not self._supports_gain_loss:
+            from tpumix.train.state import _check_loss
+
+            _check_loss(config.loss)  # raises with the guidance message
+        if config.loss == "gain":
+            # SyntheticTrainer installs its own fused gain-supervised steps;
+            # the waveform-pair steps below have no labels to train on
+            train_step = eval_step = None
+        else:
+            train_step = make_train_step(
+                model, frontend, self.tx, augment=config.augment, loss=config.loss
+            )
+            eval_step = make_eval_step(model, frontend, loss=config.loss)
+        if train_step is None:
+            self._train_step = self._eval_step = None
+        elif mesh is not None:
             self.state = jax.device_put(self.state, replicated(mesh))
             self._train_step = data_parallel_jit(train_step, mesh)
 
@@ -352,6 +367,8 @@ class SyntheticTrainer(Trainer):
     (checkpointing, best-k scoring, early stopping, CSV metrics, resume) is
     inherited.
     """
+
+    _supports_gain_loss = True
 
     def __init__(
         self,
