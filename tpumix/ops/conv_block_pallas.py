@@ -164,7 +164,7 @@ def _kernel(xt_ref, w2_ref, s_ref, t_ref, out_ref, *, TH: int, kh: int, Wop: int
     out_ref[0] = jnp.maximum(acc * s_ref[0] + t_ref[0], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret", "patches"))
 def conv_block_fused(
     x: jax.Array,
     w: jax.Array,
@@ -172,6 +172,7 @@ def conv_block_fused(
     shift: jax.Array,
     tile_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
+    patches: Optional[bool] = None,
 ) -> jax.Array:
     """``relu(conv_valid(x, w) * scale + shift)`` — fused inference block.
 
@@ -199,7 +200,8 @@ def conv_block_fused(
 
         interpret = not is_tpu_backend()
 
-    patches = _use_patches_cols()
+    if patches is None:
+        patches = _use_patches_cols()
     # weights: [kh, kw, Cin, Cout] -> [kh, kw*Cin, Cout]; contraction lane
     # order must match the cols builder (tap-major j*Cin+c for the concat
     # build, channel-major c*kw+j for the patches build)
@@ -390,6 +392,7 @@ def _conv_block_fused_v2(
     tile_rows: Optional[int],
     interpret: Optional[bool],
     khpack: bool,
+    patches: Optional[bool] = None,
 ) -> jax.Array:
     N, H, W, Cin = x.shape
     kh, kw, _, Cout = w.shape
@@ -414,7 +417,8 @@ def _conv_block_fused_v2(
 
         interpret = not is_tpu_backend()
 
-    patches = _use_patches_cols()
+    if patches is None:
+        patches = _use_patches_cols()
     if khpack:
         if patches:
             w2 = jnp.transpose(w, (2, 1, 0, 3)).reshape(K, kh * Cout)
@@ -472,7 +476,7 @@ def _conv_block_fused_v2(
     return out.reshape(N, n_tiles * TH, Wop, Cout)[:, :Ho, :Wo, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret", "patches"))
 def conv_block_fused_v2(
     x: jax.Array,
     w: jax.Array,
@@ -480,13 +484,15 @@ def conv_block_fused_v2(
     shift: jax.Array,
     tile_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
+    patches: Optional[bool] = None,
 ) -> jax.Array:
     """Two-block (no halo materialisation) per-kernel-row-dot fused block;
     same contract as :func:`conv_block_fused`."""
-    return _conv_block_fused_v2(x, w, scale, shift, tile_rows, interpret, khpack=False)
+    return _conv_block_fused_v2(x, w, scale, shift, tile_rows, interpret,
+                                khpack=False, patches=patches)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret", "patches"))
 def conv_block_fused_khpack_v2(
     x: jax.Array,
     w: jax.Array,
@@ -494,10 +500,12 @@ def conv_block_fused_khpack_v2(
     shift: jax.Array,
     tile_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
+    patches: Optional[bool] = None,
 ) -> jax.Array:
     """Two-block (no halo materialisation) khgemm-packed fused block; same
     contract as :func:`conv_block_fused_khpack`."""
-    return _conv_block_fused_v2(x, w, scale, shift, tile_rows, interpret, khpack=True)
+    return _conv_block_fused_v2(x, w, scale, shift, tile_rows, interpret,
+                                khpack=True, patches=patches)
 
 
 def _pick_tile_rows_khpack(Ho: int, kh: int, Wop: int, Kp: int, Cout: int) -> int:
@@ -546,7 +554,7 @@ def _kernel_khpack(
     out_ref[0] = jnp.maximum(acc * s_ref[0] + t_ref[0], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret", "patches"))
 def conv_block_fused_khpack(
     x: jax.Array,
     w: jax.Array,
@@ -554,6 +562,7 @@ def conv_block_fused_khpack(
     shift: jax.Array,
     tile_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
+    patches: Optional[bool] = None,
 ) -> jax.Array:
     """``relu(conv_valid(x, w) * scale + shift)`` for NARROW layers
     (``Cout < 128``): khgemm lane packing with the ``part`` matrix kept in
@@ -573,7 +582,8 @@ def conv_block_fused_khpack(
 
         interpret = not is_tpu_backend()
 
-    patches = _use_patches_cols()
+    if patches is None:
+        patches = _use_patches_cols()
     # [kh, kw, Cin, Cout] -> [kw*Cin, kh*Cout]: row order matches the cols
     # builder (tap-major or channel-major); column index i*Cout+o is the
     # packed part layout
