@@ -93,8 +93,31 @@ def _stft_kernel(x_ref, cos_ref, sin_ref, o_ref, *, T: int, R: int, hop: int,
     o_ref[0] = multiplier * _LOG10_INV * jnp.log(jnp.maximum(mag, amin))
 
 
+def _pick_bin_tile(T: int, R: int, hop: int, n_fft: int) -> int:
+    """Largest bin tile whose working set fits VMEM.  The budget counts the
+    double-buffered signal rows and basis tiles, the output tile, and the
+    f32->bf16x6 splitting scratch of the HIGHEST-precision dots (~2x the
+    operand bytes) — the term that blew the 16 MB scoped limit at hop=1024
+    (R=2 means 1024-row basis slices; observed on the resnet18 preset)."""
+    rows_bytes = 2 * (T + R - 1) * hop * 4
+    for bt in (512, 256, 128):
+        need = (
+            rows_bytes
+            + 2 * 2 * n_fft * bt * 4  # cos+sin tiles, double buffered
+            + 2 * _round_up(T, 8) * bt * 4  # output tile, double buffered
+            + 6 * _round_up(T, 8) * bt * 4  # re/im/mag temporaries
+            + 2 * (T * hop + n_fft * bt) * 2  # bf16x6 operand splits
+        )
+        # threshold calibrated against measured Mosaic scoped allocations:
+        # scalar2s@256 modelled 13.0 M runs (known-good 18 ms config);
+        # resnet@256 modelled 15.0 M faulted at 17.2 M real
+        if need <= 13.5 * 1024 * 1024:
+            return bt
+    return 128
+
+
 def stft_features_pallas_tm(
-    x: jax.Array, cfg: Optional[FrontendConfig] = None, bin_tile: int = 256
+    x: jax.Array, cfg: Optional[FrontendConfig] = None, bin_tile: Optional[int] = None
 ) -> jax.Array:
     """Fused frontend, time-major output.
 
@@ -110,6 +133,8 @@ def stft_features_pallas_tm(
     R = n_fft // hop
     T = 1 + C // hop
     bins = cfg.num_bins
+    if bin_tile is None:
+        bin_tile = _pick_bin_tile(T, R, hop, n_fft)
 
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
