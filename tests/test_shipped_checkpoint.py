@@ -40,7 +40,8 @@ def song():
 
 
 class TestShippedCheckpoint:
-    @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth", "scalar2s_synth"])
+    @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth", "scalar2s_synth",
+                                      "scalar2s_lstsq_selfsup"])
     def test_artifact_exists_and_loads(self, name):
         path = checkpoint_path(name)
         assert os.path.getsize(path) > 1_000_000  # real weights, not a stub
@@ -63,7 +64,8 @@ class TestShippedCheckpoint:
             out = sm.push(np.stack([presented[s][k * C:(k + 1) * C] for s in STEMS]))
             assert out.shape == (C,) and np.all(np.isfinite(out))
 
-    @pytest.mark.parametrize("stats_name", ["stats_scalar1sL.csv", "stats_scalar2s.csv"])
+    @pytest.mark.parametrize("stats_name", ["stats_scalar1sL.csv", "stats_scalar2s.csv",
+                                            "stats_scalar2s_lstsq.csv"])
     def test_companion_quality_records(self, stats_name):
         """The 1 s low-latency AND the reference-parity-architecture records
         must both beat every baseline."""
@@ -132,3 +134,24 @@ class TestShippedCheckpoint:
         assert mix < float(mean["sum_error"])
         assert mix < float(mean["random_error"])
         assert mix < float(mean["loudnorm_error"])
+
+
+class TestSelfSupervisedArtifact:
+    """scalar2s_lstsq_selfsup: the EXACT reference architecture trained with
+    NO generator labels — supervision is the closed-form per-item gain
+    projection from (stems, mix) pairs alone (train/state.py loss='lstsq').
+    Committed record 0.14 LU (docs/results/synthetic_eval/
+    stats_scalar2s_lstsq.csv) — the repo's best, beating the gain-label
+    artifacts and every baseline."""
+
+    def test_gains_match_engineer_up_to_common_offset(self):
+        cfg = preset("scalar2s")
+        mixer = SongMixer(build_model(cfg), load_checkpoint("scalar2s_lstsq_selfsup"), cfg)
+        presented, engineer, true_gains = make_synth_song(123, duration_s=12.0)
+        stems = np.stack([presented[s] for s in STEMS])
+        g = mixer.song_gains(stems)
+        pred_db = 10.0 * g.mean(axis=0)
+        true_db = 20.0 * np.log10([true_gains[s] for s in STEMS])
+        err = pred_db - true_db
+        rel_err = err - err.mean()
+        assert np.mean(np.abs(rel_err)) < 1.0, rel_err

@@ -25,6 +25,20 @@ reference's own parity model trains to a baseline-beating mixer under the
 label-supervised objective — the level-aware variants converge faster and
 score better (0.17/0.16) but are not required.
 
+``scalar2s_lstsq_selfsup.npz`` — the parity architecture trained
+SELF-SUPERVISED, round 3: no generator labels; supervision is the
+closed-form per-item gain projection computed from the (stems, mix) pair
+inside the train step (``loss="lstsq"``, tpumix/train/state.py — the only
+supervision the reference's corpora offer, cf. reference
+model_trainer.py:25-44).  Held-out record **0.14 LU** — the repo's best,
+beating the gain-label artifacts and every baseline
+(docs/results/synthetic_eval/stats_scalar2s_lstsq.csv).  The reference's own
+magnitude-MSE objective measured NON-identifiable on this family: a
+roundtrip-trained parity model scored 7.11 (worse than the naive sum;
+stats_scalar2s_roundtrip.csv) and the level-aware variant 3.34
+(stats_scalar2sL_roundtrip.csv) — see SELF_SUPERVISED_LOSSES in
+tpumix/train/state.py for the measured analysis.
+
 Reproduce with::
 
     python -m tpumix train-synth --model scalar2sL --loss gain \\
