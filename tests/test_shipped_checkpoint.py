@@ -41,7 +41,7 @@ def song():
 
 class TestShippedCheckpoint:
     @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth", "scalar2s_synth",
-                                      "scalar2s_lstsq_selfsup"])
+                                      "scalar2s_lstsq_selfsup", "resnet18_synth"])
     def test_artifact_exists_and_loads(self, name):
         path = checkpoint_path(name)
         assert os.path.getsize(path) > 1_000_000  # real weights, not a stub
@@ -49,7 +49,7 @@ class TestShippedCheckpoint:
         import jax
 
         assert len(jax.tree.leaves(variables["params"])) >= 30
-        assert len(jax.tree.leaves(variables["batch_stats"])) == 10
+        assert len(jax.tree.leaves(variables["batch_stats"])) >= 10
 
     def test_low_latency_artifact_mixes(self):
         """The 1 s companion artifact drives the streaming mixer end to end
@@ -65,7 +65,8 @@ class TestShippedCheckpoint:
             assert out.shape == (C,) and np.all(np.isfinite(out))
 
     @pytest.mark.parametrize("stats_name", ["stats_scalar1sL.csv", "stats_scalar2s.csv",
-                                            "stats_scalar2s_lstsq.csv"])
+                                            "stats_scalar2s_lstsq.csv",
+                                            "stats_resnet18.csv"])
     def test_companion_quality_records(self, stats_name):
         """The 1 s low-latency AND the reference-parity-architecture records
         must both beat every baseline."""
@@ -155,3 +156,22 @@ class TestSelfSupervisedArtifact:
         err = pred_db - true_db
         rel_err = err - err.mean()
         assert np.mean(np.abs(rel_err)) < 1.0, rel_err
+
+
+class TestResnetArtifact:
+    """resnet18_synth: the third model family (reference model_resnet.py:
+    59-126) trained and quality-recorded — 0.17 LU held-out
+    (docs/results/synthetic_eval/stats_resnet18.csv), beating every
+    baseline.  The reference never checkpointed its ResNet."""
+
+    def test_resnet_artifact_mixes(self):
+        cfg = preset("resnet18")
+        mixer = SongMixer(build_model(cfg), load_checkpoint("resnet18_synth"), cfg)
+        presented, engineer, true_gains = make_synth_song(123, duration_s=15.0)
+        stems = np.stack([presented[s] for s in STEMS])
+        g = mixer.song_gains(stems)  # 3 chunks of 5 s -> 2 gain windows
+        assert g.shape == (2, 4) and np.all(np.isfinite(g))
+        pred_db = 10.0 * g.mean(axis=0)
+        true_db = 20.0 * np.log10([true_gains[s] for s in STEMS])
+        rel = (pred_db - true_db) - (pred_db - true_db).mean()
+        assert np.mean(np.abs(rel)) < 1.5, rel
