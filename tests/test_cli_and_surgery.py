@@ -169,6 +169,18 @@ class TestCLI:
         y, sr = wavio.read(os.path.join(out, "S1_mixed.wav"))
         assert sr == SR and y.shape[0] == 4 * SR
 
+    def test_checkpoint_resolves_shipped_artifact_names(self):
+        """--checkpoint accepts a bare shipped-artifact name (no path, no
+        .npz) and resolves it through tpumix.assets.checkpoint_path."""
+        from tpumix.cli import _load_variables
+
+        variables = _load_variables("scalar1sL_synth")
+        assert set(variables) >= {"params", "batch_stats"}
+        # unknown bare names fall through to the Orbax path error, not a
+        # silent random-weights mix
+        with pytest.raises(Exception):
+            _load_variables("no_such_artifact")
+
     def test_surgery_command(self, raw_medleydb_song, tmp_path):
         song_path, _ = raw_medleydb_song
         root = os.path.dirname(song_path)

@@ -39,6 +39,15 @@ stats_scalar2s_roundtrip.csv) and the level-aware variant 3.34
 (stats_scalar2sL_roundtrip.csv) — see SELF_SUPERVISED_LOSSES in
 tpumix/train/state.py for the measured analysis.
 
+``resnet18_synth.npz`` — the third model family: GainResNet (ResNet-18
+trunk + 4-gain head, reference models/model_resnet.py:59-126) trained on
+the synthetic task (gain-label objective).  Held-out record **0.17 LU**
+(docs/results/synthetic_eval/stats_resnet18.csv) — completes the model
+matrix; the reference never checkpointed its ResNet.
+
+All names resolve directly at the CLI, e.g.
+``python -m tpumix mix --model resnet18 --checkpoint resnet18_synth ...``.
+
 Reproduce with::
 
     python -m tpumix train-synth --model scalar2sL --loss gain \\

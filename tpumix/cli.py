@@ -56,8 +56,16 @@ def _load_mixer(args):
 
 
 def _load_variables(checkpoint: str):
-    """Inference variables from either checkpoint format: a trainer Orbax run
-    directory, or a compact .npz artifact (models/convert.py save_npz)."""
+    """Inference variables from any checkpoint spelling: a shipped artifact
+    name (``resnet18_synth`` — tpumix/assets), a trainer Orbax run directory,
+    or a compact .npz artifact (models/convert.py save_npz)."""
+    if not os.path.exists(checkpoint) and "/" not in checkpoint:
+        from tpumix.assets import checkpoint_path
+
+        try:
+            checkpoint = checkpoint_path(checkpoint.removesuffix(".npz"))
+        except FileNotFoundError:
+            pass  # fall through to the path-based error paths below
     if checkpoint.endswith(".npz"):
         from tpumix.models.convert import load_npz
 
@@ -377,7 +385,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "int12", "mulaw8"])
         if checkpoint:
-            sp.add_argument("--checkpoint", default="", help="Orbax checkpoint dir")
+            sp.add_argument(
+                "--checkpoint", default="",
+                help="shipped artifact name, .npz file, or Orbax checkpoint dir",
+            )
 
     sp = sub.add_parser("train", help="train a gain model")
     common(sp, checkpoint=False)
