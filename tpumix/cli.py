@@ -47,11 +47,29 @@ def _load_mixer(args):
 
     cfg = dataclasses.replace(preset(args.model), compute_dtype=args.compute_dtype)
     model = build_model(cfg)
-    variables = model.init(
-        jax.random.key(0), np.zeros(example_feature_shape(cfg), np.float32), train=False
-    )
-    if args.checkpoint:
-        variables = _load_variables(args.checkpoint)
+    checkpoint = args.checkpoint
+    if not checkpoint:
+        # a mixer with random-init weights is a silent trap for mix/evaluate/
+        # serve users — default to the shipped trained artifact when one
+        # exists for this model family (the reference ships NO weights and
+        # cannot mix anything out of the box; tpumix can)
+        from tpumix.assets import checkpoint_path
+
+        try:
+            checkpoint = checkpoint_path(f"{args.model}_synth")
+            print(f"[{args.command}] no --checkpoint given; using shipped artifact "
+                  f"{os.path.basename(checkpoint)}", flush=True)
+        except FileNotFoundError:
+            print(f"[{args.command}] WARNING: no --checkpoint and no shipped artifact "
+                  f"for {args.model!r} — mixing with RANDOM-INIT weights",
+                  flush=True)
+    if checkpoint:
+        variables = _load_variables(checkpoint)
+    else:
+        variables = model.init(
+            jax.random.key(0), np.zeros(example_feature_shape(cfg), np.float32),
+            train=False,
+        )
     return SongMixer(model, variables, cfg, transfer_dtype=args.transfer_dtype)
 
 
