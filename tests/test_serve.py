@@ -25,7 +25,11 @@ def server():
     )
     cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
     mixer = SongMixer(model, variables, cfg)
-    httpd = serve(mixer, host="127.0.0.1", port=0, model_name="scalar1s")
+    # warmup=True exercises the startup-compile path; the warmed programs are
+    # the same jit closures the request tests below use, so the module's
+    # total compile count is unchanged
+    httpd = serve(mixer, host="127.0.0.1", port=0, model_name="scalar1s",
+                  warmup=True)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield httpd.server_address
@@ -55,6 +59,9 @@ def test_healthz(server):
     assert r.status == 200
     payload = json.loads(r.read())
     assert payload["status"] == "ok" and payload["model"] == "scalar1s"
+    # the fixture served with warmup=True; warm-up must be flagged and must
+    # not count toward the request counter
+    assert payload["warm"] is True
 
 
 def test_mix_request(server, tracks):

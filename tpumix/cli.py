@@ -358,6 +358,12 @@ def cmd_serve(args) -> int:
 
     mixer = _load_mixer(args)
     httpd = serve(mixer, host=args.host, port=args.port, model_name=args.model)
+    if not args.no_warmup:
+        # compile before taking traffic: a cold remote compile costs minutes,
+        # and paying it on a user's first request reads as an outage
+        print("[serve] warming device programs (cold compiles can take "
+              "minutes; /healthz reports \"warm\")...", flush=True)
+        httpd.service.warm()
     print(f"[serve] {args.model} on http://{args.host}:{args.port}")
     try:
         httpd.serve_forever()
@@ -540,6 +546,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "int12", "mulaw8"])
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup compile of the device programs")
     sp.set_defaults(fn=cmd_serve)
 
     return p

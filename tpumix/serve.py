@@ -101,7 +101,32 @@ class MixingService:
         self.mixer = mixer
         self.lock = threading.Lock()
         self.requests = 0
+        self.warmed = False
         self._stream_inner = None  # shared segment-1 SongMixer, built lazily
+
+    def warm(self, stream: bool = True) -> None:
+        """Compile the device programs BEFORE the first request: the
+        fixed-shape segment gains program (POST /mix, /gains) and, with
+        ``stream``, the segment-1 streaming program (POST /stream).
+
+        A cold remote compile through this environment's TPU tunnel takes
+        minutes (measured 255 s for the first /mix on an unwarmed server,
+        then 1.4 s warm) — a serving process must pay that at startup, not
+        on a user's first request.  Requests arriving mid-warm-up queue
+        behind the service lock; /healthz responds throughout and reports
+        ``"warm"``."""
+        rng = np.random.default_rng(0)
+        C = self.mixer.chunk_samples
+        song = {t: (0.01 * rng.standard_normal((1, 2 * C))).astype(np.float32)
+                for t in STEMS}
+        with self.lock:
+            self.mixer.mix_song(song)
+        if stream:
+            sm = self.make_streaming()
+            with self.lock:
+                self.requests -= 1  # warm-up is not a served request
+            sm.push((0.01 * rng.standard_normal((4, C))).astype(np.float32))
+        self.warmed = True
 
     def mix(self, tracks) -> np.ndarray:
         with self.lock:
@@ -161,7 +186,8 @@ def make_handler(service: MixingService, model_name: str):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", "model": model_name,
-                                 "requests": service.requests})
+                                 "requests": service.requests,
+                                 "warm": service.warmed})
             elif self.path == "/streaminfo":
                 self._json(200, {"chunk_samples": service.mixer.chunk_samples,
                                  "sample_rate": 44100})
@@ -259,8 +285,14 @@ def make_handler(service: MixingService, model_name: str):
 
 
 def serve(mixer, host: str = "127.0.0.1", port: int = 8080,
-          model_name: str = "scalar2s") -> ThreadingHTTPServer:
+          model_name: str = "scalar2s", warmup: bool = False) -> ThreadingHTTPServer:
     """Build the server (call ``serve_forever()`` on the result, or use it
-    with ``with`` + a thread in tests)."""
+    with ``with`` + a thread in tests).  ``warmup`` compiles the device
+    programs before returning (see :meth:`MixingService.warm`); the CLI
+    turns it on by default, tests leave it off."""
     service = MixingService(mixer)
-    return ThreadingHTTPServer((host, port), make_handler(service, model_name))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service, model_name))
+    httpd.service = service  # expose for warm-up, tests, introspection
+    if warmup:
+        service.warm()
+    return httpd
