@@ -24,9 +24,11 @@ from tpumix.models.scalar import (
 def build_model(cfg: ModelConfig, for_training: bool = False):
     """``for_training`` steers the conv_impl="auto" resolution: khgemm's
     widened GEMM wins the forward pass on the MXU (975 vs 672 audio-s/s on
-    the fused mixing pipeline) but its BACKWARD loses (287 vs 235 ms/step —
-    the window-concat's scatter-add gradient outweighs the forward win,
-    docs/PERF.md), so auto = khgemm only for TPU inference."""
+    the fused mixing pipeline) but its BACKWARD loses even with the
+    hand-derived dense VJP (338 vs 149 ms/step pipelined at batch 48x2s —
+    the dense-transpose-conv dx re-pays the forward FLOPs on worse MXU
+    shapes, docs/PERF.md round-3 close-out), so auto = khgemm only for TPU
+    inference."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     conv_impl = cfg.conv_impl
     if conv_impl == "auto":
