@@ -89,6 +89,36 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     # warm-up compiles the (fixed-shape) segment program with a tiny song —
     # identical executables, 40x fewer bytes through the congestible relay
     mixer.mix_song_smooth(make_song(6.0, seed=99))
+
+    # raw-link probe, INTERLEAVED with the end-to-end reps below: the tunnel's
+    # rate swings 20-40 MB/s (sometimes <15) minute to minute, so a
+    # calibration run before/after the reps can sample different link weather
+    # than the reps themselves and make utilization meaningless.  One
+    # segment's wire bytes, content varied per probe (runtime memoization),
+    # fenced by a host readback (block_until_ready lies on axon — CLAUDE.md).
+    import jax.numpy as jnp
+
+    seg = 64
+    C = mixer.chunk_samples
+    seg_bytes = int(len(STEMS) * seg * C * bytes_per_sample)
+    raw = np.frombuffer(
+        np.random.default_rng(3).integers(0, 255, seg_bytes, np.uint8).tobytes(),
+        np.uint8,
+    ).reshape(len(STEMS), -1)
+
+    @jax.jit
+    def _consume(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    float(_consume(jnp.asarray(raw)))  # warm-up compile
+    probe_rates = []
+
+    def probe_link():
+        buf = np.roll(raw, 7919 * len(probe_rates) + 13, axis=1)
+        tic = time.perf_counter()
+        float(_consume(jnp.asarray(buf)))
+        probe_rates.append(seg_bytes / 1e6 / (time.perf_counter() - tic))
+
     best = float("inf")
     # the shared host->device relay in this environment stalls unpredictably;
     # bound total measuring time while taking the best of whatever completed
@@ -105,6 +135,7 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
         tic = time.perf_counter()
         mixer.mix_songs_smooth(rep_songs)
         best = min(best, (time.perf_counter() - tic) / n_songs)
+        probe_link()  # sample the link in the same weather window as the rep
         if rep >= 1 and time.perf_counter() - started > budget:
             break
 
@@ -116,19 +147,19 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     # back-to-back) and because a single synchronous call through this
     # environment's remote tunnel carries a ~27-37 ms host round-trip that
     # the device never sees (measured round 3, docs/PERF.md).
-    import jax.numpy as jnp
-
     stems = np.stack([song[t] for t in STEMS])
-    seg = 64
-    C = mixer.chunk_samples
     need = seg * C
     base = np.tile(stems, (1, -(-need // stems.shape[1])))[:, :need].astype(np.float32)
     K = 16  # deeper pipeline amortises the final-fence tunnel RTT better
     # (measured: x8 1195, x16 1220 audio-s/s — the x16 figure is closer to
     # the true device-resident steady state)
-    bufs = []
-    for k in range(K + 1):
-        bufs.append(jax.device_put(jnp.asarray(np.roll(base, 7919 * k + 1, axis=1))))
+    # one upload; the per-dispatch variants are built ON DEVICE (cheap 45 MB
+    # rolls) instead of K+1 uploads — saves ~minutes on degraded-link days
+    base_dev = jax.device_put(jnp.asarray(base))
+    roll_dev = jax.jit(lambda x, s: jnp.roll(x, s, axis=1))
+    bufs = [roll_dev(base_dev, 7919 * k + 1) for k in range(K + 1)]
+    # force the rolls (one fused readback) so the timed window is gains only
+    float(jnp.sum(jnp.stack([b[0, 0] for b in bufs])))
     np.asarray(mixer._gains_fn(bufs[0], seg))  # warm-up; host transfer is the
     # single-call rate (pays the full tunnel RTT)  # only trustworthy fence
     tic = time.perf_counter()
@@ -145,40 +176,19 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
         f"(includes one tunnel round-trip); pipelined x{K} {resident:.0f} audio-s/s",
         file=sys.stderr,
     )
-    # raw-link calibration, measured CONCURRENTLY with the pipeline numbers:
-    # the tunnel's rate swings 20-40 MB/s across minutes, so utilization must
-    # be computed against what the link measures NOW, not a stale constant.
-    # One segment's wire bytes, content varied per rep (runtime memoization),
-    # fenced by a host readback (block_until_ready lies on axon — CLAUDE.md).
-    seg_bytes = int(len(STEMS) * seg * C * bytes_per_sample)
-    raw = np.frombuffer(
-        np.random.default_rng(3).integers(0, 255, seg_bytes, np.uint8).tobytes(),
-        np.uint8,
-    ).reshape(len(STEMS), -1)
-
-    @jax.jit
-    def _consume(x):
-        return jnp.sum(x.astype(jnp.float32))
-
-    float(_consume(jnp.asarray(raw)))  # warm-up compile
-    raw_rate = 0.0
-    for k in range(3):
-        buf = np.roll(raw, 7919 * k + 13, axis=1)
-        tic = time.perf_counter()
-        float(_consume(jnp.asarray(buf)))
-        raw_rate = max(raw_rate, seg_bytes / 1e6 / (time.perf_counter() - tic))
-
+    probe_link()  # one more sample after the resident phase
+    raw_rate = max(probe_rates)
     link_rate = wire_mb_per_song / best
     util = link_rate / raw_rate
     print(
         f"[bench detail] end-to-end {dur / best:.1f} audio-s/s; "
         f"device-resident compute {resident:.0f} audio-s/s; "
         f"pipeline link throughput {link_rate:.1f} MB/s = {100 * util:.0f}% of "
-        f"the raw link rate measured concurrently ({raw_rate:.1f} MB/s best-of-3 "
-        f"push+fence).  The tunnel swings 20-40 MB/s minute to minute, so "
-        f"utilization near or above 100% (the pipeline's longer best-of-reps "
-        f"window catches better link moments than the 3-rep calibration) "
-        f"proves the link itself, not host packing, bounds the end-to-end rate",
+        f"the raw link rate ({raw_rate:.1f} MB/s, best of {len(probe_rates)} "
+        f"push+fence probes INTERLEAVED with the reps: "
+        f"{', '.join(f'{r:.1f}' for r in probe_rates)}).  The tunnel swings "
+        f"20-40 MB/s minute to minute; utilization near or above 100% proves "
+        f"the link itself, not host packing, bounds the end-to-end rate",
         file=sys.stderr,
     )
     return dur / best, resident, link_rate, raw_rate
