@@ -54,7 +54,7 @@ def make_song(duration_s: float, sr: int = 44100, seed: int = 0):
     }
 
 
-def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
+def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int = 2):
     """End-to-end catalogue mixing throughput (audio-seconds/sec) on the
     default backend: ``n_songs`` full songs mixed through the pipelined
     multi-song path (device transfers/computes for later songs overlap the
@@ -63,6 +63,12 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     Uses int16 host->device transfer — lossless w.r.t. 16-bit PCM source
     material (MUSDB18-HQ stems) and half the bytes of float32; conformance of
     the int16 path is covered by tests/test_infer.py.
+
+    ``state`` is updated INCREMENTALLY as each phase completes (resident rate
+    first, then end-to-end best after every rep) so the watchdog in ``main``
+    can emit an honest partial scoreboard even if the tunnel stalls a later
+    phase indefinitely (multi-minute relay stalls are a measured behaviour of
+    this environment).
     """
     import jax
 
@@ -93,14 +99,17 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
     # raw-link probe, INTERLEAVED with the end-to-end reps below: the tunnel's
     # rate swings 20-40 MB/s (sometimes <15) minute to minute, so a
     # calibration run before/after the reps can sample different link weather
-    # than the reps themselves and make utilization meaningless.  One
-    # segment's wire bytes, content varied per probe (runtime memoization),
-    # fenced by a host readback (block_until_ready lies on axon — CLAUDE.md).
+    # than the reps themselves and make utilization meaningless.  Content is
+    # varied per probe (runtime memoization); each probe is fenced by a host
+    # readback (block_until_ready lies on axon — CLAUDE.md).
     import jax.numpy as jnp
 
     seg = 64
     C = mixer.chunk_samples
-    seg_bytes = int(len(STEMS) * seg * C * bytes_per_sample)
+    # half a segment's wire bytes per probe: big enough that the ~30 ms tunnel
+    # RTT biases the rate <10%, small enough that probing every rep doesn't
+    # eat the measuring budget
+    seg_bytes = int(len(STEMS) * seg * C * bytes_per_sample) // 2
     raw = np.frombuffer(
         np.random.default_rng(3).integers(0, 255, seg_bytes, np.uint8).tobytes(),
         np.uint8,
@@ -118,26 +127,6 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
         tic = time.perf_counter()
         float(_consume(jnp.asarray(buf)))
         probe_rates.append(seg_bytes / 1e6 / (time.perf_counter() - tic))
-
-    best = float("inf")
-    # the shared host->device relay in this environment stalls unpredictably;
-    # bound total measuring time while taking the best of whatever completed
-    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "240"))
-    started = time.perf_counter()
-    for rep in range(reps):
-        # the axon runtime memoizes identical executions — every rep must see
-        # different bytes.  np.roll changes content at negligible host cost
-        # while keeping the audio statistics identical.
-        rep_songs = [
-            {k: np.roll(v, 9973 * (rep * len(songs) + j) + 1) for k, v in s.items()}
-            for j, s in enumerate(songs)
-        ]
-        tic = time.perf_counter()
-        mixer.mix_songs_smooth(rep_songs)
-        best = min(best, (time.perf_counter() - tic) / n_songs)
-        probe_link()  # sample the link in the same weather window as the rep
-        if rep >= 1 and time.perf_counter() - started > budget:
-            break
 
     # device-compute-only rate (data resident), for the bandwidth-wall record:
     # every call uses a DIFFERENT device-resident buffer (runtime memoization
@@ -176,10 +165,44 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
         f"(includes one tunnel round-trip); pipelined x{K} {resident:.0f} audio-s/s",
         file=sys.stderr,
     )
-    probe_link()  # one more sample after the resident phase
+    state["device_resident"] = round(resident, 2)
+    del bufs, base_dev  # release ~750 MB of HBM before the e2e phase
+
+    best = float("inf")
+    # the shared host->device relay in this environment stalls unpredictably
+    # AND its rate swings 5-40 MB/s minute to minute (measured round 3); the
+    # rep count is set high enough that the BUDGET, not the count, ends the
+    # loop — best-of-many-reps is what catches a stable-weather window.  In
+    # good weather the e2e path is link-saturated at ~2.3 s/song (90 MB wire
+    # at the concurrently-probed raw rate), so `best` converges to the true
+    # pipeline rate rather than to a stall artifact.
+    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "240"))
+    started = time.perf_counter()
+    for rep in range(reps):
+        # the axon runtime memoizes identical executions — every rep must see
+        # different bytes.  np.roll changes content at negligible host cost
+        # while keeping the audio statistics identical.
+        rep_songs = [
+            {k: np.roll(v, 9973 * (rep * len(songs) + j) + 1) for k, v in s.items()}
+            for j, s in enumerate(songs)
+        ]
+        tic = time.perf_counter()
+        mixer.mix_songs_smooth(rep_songs)
+        best = min(best, (time.perf_counter() - tic) / n_songs)
+        probe_link()  # sample the link in the same weather window as the rep
+        state.update(
+            value=round(dur / best, 2),
+            link_mbps=round(wire_mb_per_song / best, 2),
+            raw_link_mbps=round(max(probe_rates), 2),
+            e2e_reps=rep + 1,
+        )
+        if rep >= 1 and time.perf_counter() - started > budget:
+            break
+
     raw_rate = max(probe_rates)
     link_rate = wire_mb_per_song / best
     util = link_rate / raw_rate
+    state["link_utilization"] = round(util, 2)
     print(
         f"[bench detail] end-to-end {dur / best:.1f} audio-s/s; "
         f"device-resident compute {resident:.0f} audio-s/s; "
@@ -191,7 +214,6 @@ def bench_tpu(model, variables, song, reps: int = 8, n_songs: int = 2) -> float:
         f"the link itself, not host packing, bounds the end-to-end rate",
         file=sys.stderr,
     )
-    return dur / best, resident, link_rate, raw_rate
 
 
 def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
@@ -218,7 +240,39 @@ def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
     return song_s / dt
 
 
+def _emit(state: dict) -> dict:
+    """Assemble and print the ONE scoreboard JSON line from whatever phases
+    have completed.  ``vs_baseline`` fields are derived here so a watchdog
+    emit sees them too."""
+    cpu = state.get("baseline_cpu_rate")
+    result = {
+        "metric": "audio_seconds_mixed_per_sec_per_chip",
+        "value": state.get("value", 0.0),
+        "unit": "audio_s/s",
+    }
+    if cpu:
+        result["vs_baseline"] = round(result["value"] / cpu, 2)
+    if "device_resident" in state:
+        result["device_resident"] = state["device_resident"]
+        if cpu:
+            result["vs_baseline_resident"] = round(state["device_resident"] / cpu, 2)
+    for k in (
+        "baseline_cpu_rate",
+        "link_mbps",
+        "raw_link_mbps",
+        "link_utilization",
+        "e2e_reps",
+        "stalled",
+    ):
+        if k in state:
+            result[k] = state[k]
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def main() -> None:
+    import threading
+
     import jax
 
     from tpumix.config import preset
@@ -231,33 +285,51 @@ def main() -> None:
         jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
     )
 
-    song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
-    tpu_rate, resident_rate, link_rate, raw_link_rate = bench_tpu(
-        model, variables, song
-    )
-    cpu_rate = bench_cpu_reference(model, variables)
-
     # `value` is honest end-to-end wall-clock through this environment's
     # ~40 MB/s host->device tunnel (the binding constraint; see docs/PERF.md);
     # `device_resident` is the same program with data already on-chip — the
     # number that reflects the chip and survives to production deployments
     # where stems live in device-adjacent storage.
-    result = {
-        "metric": "audio_seconds_mixed_per_sec_per_chip",
-        "value": round(tpu_rate, 2),
-        "unit": "audio_s/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
-        "device_resident": round(resident_rate, 2),
-        "vs_baseline_resident": round(resident_rate / cpu_rate, 2),
-        "baseline_cpu_rate": round(cpu_rate, 2),
-        # saturation proof for the end-to-end `value`: the pipeline's wire
-        # throughput vs the raw host->device link rate measured concurrently
-        # in this run (the tunnel swings 20-40 MB/s minute to minute)
-        "link_mbps": round(link_rate, 2),
-        "raw_link_mbps": round(raw_link_rate, 2),
-        "link_utilization": round(link_rate / raw_link_rate, 2),
-    }
-    print(json.dumps(result))
+    state: dict = {}
+
+    # Watchdog: the axon relay exhibits multi-minute stalls (measured round
+    # 3) that can block a fence indefinitely.  A daemon timer emits whatever
+    # phases completed and hard-exits, so the driver ALWAYS records a JSON
+    # line.  Phases are ordered cheapest-wire first (CPU baseline needs no
+    # tunnel at all, then resident before e2e reps) to maximise what a
+    # stalled run still reports.
+    deadline = float(os.environ.get("BENCH_DEADLINE_SECONDS", "520"))
+    lock = threading.Lock()
+    done = [False]
+
+    def emit_once(stalled: bool) -> None:
+        with lock:
+            if done[0]:
+                return
+            done[0] = True
+        if stalled:
+            state["stalled"] = True
+        _emit(state)
+        sys.stdout.flush()
+        sys.stderr.flush()
+
+    def _watchdog():
+        emit_once(stalled=True)
+        os._exit(0)
+
+    timer = threading.Timer(deadline, _watchdog)
+    timer.daemon = True
+    timer.start()
+
+    # CPU reference first: it needs no tunnel, so the 1x denominator exists
+    # even if every TPU phase stalls (and nothing runs concurrently with the
+    # torch baseline, per the idle-host measurement rule in CLAUDE.md).
+    state["baseline_cpu_rate"] = round(bench_cpu_reference(model, variables), 2)
+
+    song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
+    bench_tpu(model, variables, song, state)
+    timer.cancel()
+    emit_once(stalled=False)
 
 
 if __name__ == "__main__":
