@@ -4,6 +4,8 @@ Phases timed separately on the bench song; plus a raw-link probe with and
 without a concurrent CPU spinner to test whether the tunnel transfer is
 CPU-bound on this host.
 """
+import os
+import sys
 import threading
 import time
 
@@ -11,6 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import make_song
 from tpumix.config import preset
 from tpumix.infer.mixer import SongMixer, STEMS
