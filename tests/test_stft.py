@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from tpumix.config import FrontendConfig
@@ -69,6 +70,45 @@ def test_matmul_implementation_matches_fft(audio, hop):
     assert np.max(d) < 0.2
     assert np.mean(d) < 1e-4
     assert np.quantile(d, 0.999) < 5e-3
+
+
+@pytest.mark.parametrize("hop", [512, 1024])
+def test_ct_implementation_matches_fft(audio, hop):
+    cfg_fft = FrontendConfig(hop_length=hop, implementation="fft")
+    cfg_ct = FrontendConfig(hop_length=hop, implementation="ct")
+    f1 = np.asarray(spectrogram_features(jnp.asarray(audio), cfg_fft))
+    f2 = np.asarray(spectrogram_features(jnp.asarray(audio), cfg_ct))
+    # factorized bins sum N2+N1 terms instead of n_fft -> tighter than the
+    # direct matmul basis; residual max lives in near-clamp bins
+    d = np.abs(f1 - f2)
+    assert np.max(d) < 0.1
+    assert np.mean(d) < 1e-4
+    assert np.quantile(d, 0.999) < 5e-3
+
+
+def test_ct_batched_and_gradable():
+    # arbitrary leading dims + native differentiability (no custom VJP needed)
+    cfg = FrontendConfig(hop_length=512, implementation="ct")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 44100)).astype(np.float32))
+    out = spectrogram_features(x, cfg)
+    assert out.shape == (2, 3, 1025, 87)
+    g = jax.grad(lambda v: jnp.sum(spectrogram_features(v, cfg) ** 2))(x[0, 0])
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ct_applicability_fallback():
+    from tpumix.ops.stft import ct_applicable
+
+    assert ct_applicable(FrontendConfig(hop_length=512))
+    assert ct_applicable(FrontendConfig(hop_length=1024))
+    odd = FrontendConfig(hop_length=500, implementation="ct")
+    assert not ct_applicable(odd)
+    # odd hop silently takes the matmul path with identical contract
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(22050).astype(np.float32))
+    ref = spectrogram_features(x, FrontendConfig(hop_length=500, implementation="matmul"))
+    out = spectrogram_features(x, odd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_frame_counts_match_survey():

@@ -1,0 +1,69 @@
+"""Fused Cooley-Tukey Pallas frontend (tpumix/ops/stft_ct_pallas.py) vs the
+XLA FFT oracle — interpret mode on the CPU backend exercises the exact
+kernel code path that compiles on TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpumix.config import FrontendConfig
+from tpumix.ops.stft import spectrogram_features_tm
+from tpumix.ops.stft_ct_pallas import stft_features_ct_pallas_tm
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(7)
+    t = np.arange(88200) / 44100.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 97 * t)
+    sig += 0.05 * rng.standard_normal(t.size)
+    return sig.astype(np.float32)
+
+
+@pytest.mark.parametrize("hop", [512, 1024])
+def test_matches_fft_oracle(audio, hop):
+    cfg = FrontendConfig(hop_length=hop)
+    ref = np.asarray(
+        spectrogram_features_tm(
+            jnp.asarray(audio), FrontendConfig(hop_length=hop, implementation="fft")
+        )
+    )
+    out = np.asarray(stft_features_ct_pallas_tm(jnp.asarray(audio), cfg))
+    assert out.shape == ref.shape
+    d = np.abs(out - ref)
+    # factorized bins sum 128+16 terms instead of 2048; max deviation lives
+    # in near-amin-clamp bins (same bound family as the other frontends)
+    assert d.max() < 0.1
+    assert d.mean() < 1e-4
+    assert np.quantile(d, 0.999) < 5e-3
+
+
+def test_batched_leading_dims(audio):
+    cfg = FrontendConfig(hop_length=512)
+    x = jnp.asarray(np.stack([np.stack([audio, audio * 0.5])] * 3))  # [3, 2, S]
+    out = stft_features_ct_pallas_tm(x, cfg)
+    assert out.shape == (3, 2, 173, 1025)
+    single = stft_features_ct_pallas_tm(jnp.asarray(audio * 0.5), cfg)
+    np.testing.assert_allclose(np.asarray(out[1, 1]), np.asarray(single), atol=1e-5)
+
+
+def test_rejects_inapplicable_config():
+    with pytest.raises(ValueError):
+        stft_features_ct_pallas_tm(
+            jnp.zeros(22050, jnp.float32), FrontendConfig(hop_length=500)
+        )
+
+
+def test_agrees_with_naive_pallas_kernel(audio):
+    """Both fused kernels behind implementation="pallas"/"ct_pallas" must
+    agree to f32 reassociation — they compute the same windowed DFT."""
+    from tpumix.ops.stft_pallas import stft_features_pallas_tm
+
+    cfg = FrontendConfig(hop_length=512)
+    a = np.asarray(stft_features_ct_pallas_tm(jnp.asarray(audio), cfg))
+    b = np.asarray(stft_features_pallas_tm(jnp.asarray(audio), cfg))
+    d = np.abs(a - b)
+    assert d.mean() < 1e-4
+    assert np.quantile(d, 0.999) < 5e-3

@@ -34,22 +34,33 @@ class FrontendConfig:
     db_multiplier: float = 20.0
     center: bool = True
     pad_mode: str = "reflect"
-    # "auto"    : "pallas" on TPU backends (when n_fft % hop == 0), else "fft"
-    # "fft"     : jnp.fft.rfft based (XLA FFT)
-    # "matmul"  : real-valued DFT as two matmuls against precomputed bases (MXU)
-    # "pallas"  : fused Pallas framing+DFT+log-magnitude kernel (TPU only)
+    # "auto"     : "ct_pallas" on TPU backends (when applicable), falling back
+    #              to "pallas" (n_fft % hop == 0) and then "fft"
+    # "fft"      : jnp.fft.rfft based (XLA FFT)
+    # "matmul"   : real-valued DFT as two matmuls against precomputed bases (MXU)
+    # "ct"       : Cooley-Tukey factorized DFT matmuls at the XLA level
+    # "pallas"   : fused Pallas framing+DFT+log-magnitude kernel (TPU only)
+    # "ct_pallas": fused Pallas factorized-DFT kernel — the measured TPU
+    #              winner (14.1 vs 18.8 ms/segment, docs/PERF.md round 3)
     implementation: str = "auto"
 
     def resolved_implementation(self) -> str:
         """Concrete implementation for the current default backend: the fused
-        Pallas kernel is the production default on TPU (conformance within
-        1e-5 dB of the FFT path, tests/test_pallas.py); XLA FFT elsewhere."""
+        factorized-DFT Pallas kernel is the production default on TPU
+        (conformance bounds in tests/test_stft_ct_pallas.py), the naive-basis
+        fused kernel for configs the factorization can't frame (hop not a
+        multiple of 16), XLA FFT elsewhere."""
         if self.implementation != "auto":
             return self.implementation
         from tpumix.utils.backend import is_tpu_backend
 
-        if is_tpu_backend() and self.n_fft % self.hop_length == 0:
-            return "pallas"
+        if is_tpu_backend():
+            from tpumix.ops.stft import ct_applicable
+
+            if ct_applicable(self):
+                return "ct_pallas"
+            if self.n_fft % self.hop_length == 0:
+                return "pallas"
         return "fft"
 
     @property

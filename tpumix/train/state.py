@@ -94,10 +94,15 @@ def make_frontend_fn(frontend: FrontendConfig) -> Callable:
     autodiff rule), plain XLA path otherwise."""
 
     def _features(x: jax.Array) -> jax.Array:
-        if frontend.resolved_implementation() == "pallas":
+        impl = frontend.resolved_implementation()
+        if impl == "pallas":
             from tpumix.ops.stft_pallas import stft_features_tm_hybrid
 
             return jnp.swapaxes(stft_features_tm_hybrid(x, frontend), -1, -2)
+        if impl == "ct_pallas":
+            from tpumix.ops.stft_ct_pallas import stft_features_ct_tm_hybrid
+
+            return jnp.swapaxes(stft_features_ct_tm_hybrid(x, frontend), -1, -2)
         return spectrogram_features(x, frontend)
 
     return _features
