@@ -1,5 +1,7 @@
 """Consolidated round-3 TPU measurements: per-layer fused-v2 vs khgemm, and
 model-level segment timing for each conv_impl."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 import numpy as np, jax, jax.numpy as jnp
 import dataclasses

@@ -1,5 +1,7 @@
 """Decompose v2 slowness: overhead baseline, patches on/off, tile sizes,
 A-vs-B kernel on the same layer, conv5, prebuild-only."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 import numpy as np, jax, jax.numpy as jnp
 import tpumix.ops.conv_block_pallas as cbp

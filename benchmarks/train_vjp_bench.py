@@ -1,4 +1,6 @@
 """Training-step timing: conv_impl khgemm (custom VJP) vs xla at batch 48 x 2 s."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time, dataclasses
 import numpy as np, jax, jax.numpy as jnp
 from tpumix.config import preset
@@ -11,7 +13,7 @@ mix = stems.sum(axis=1)
 sd, md = jax.device_put(jnp.asarray(stems)), jax.device_put(jnp.asarray(mix))
 float(jnp.sum(sd)); float(jnp.sum(md))
 
-for impl in ("xla", "khgemm"):
+for impl in ("xla", "khgemm_hybrid", "khgemm"):
     cfg = dataclasses.replace(preset("scalar2s"), conv_impl=impl, bn_momentum=0.99, use_dropout=False)
     model = build_model(cfg)  # conv_impl explicit -> no auto resolution
     tx = adam_with_l2(1e-3, 1e-5)

@@ -142,3 +142,65 @@ class TestCustomVJP:
         (dx2, dw2) = jax.grad(loss_lax, argnums=(0, 1))(x, w)
         np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), rtol=2e-4, atol=2e-4)
+
+    def test_hybrid_forward_khgemm_backward_lax(self):
+        """conv2d_valid_khgemm_hybrid: forward equals the khgemm lowering,
+        gradients equal lax.conv autodiff (they ARE lax.conv's VJP)."""
+        from tpumix.ops.conv_khgemm import conv2d_valid_khgemm_hybrid
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 20, 15, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((5, 5, 8, 16)) * 0.1, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(conv2d_valid_khgemm_hybrid(x, w)),
+            np.asarray(conv2d_valid_khgemm(x, w)),
+            atol=1e-6,
+        )
+
+        def loss_hy(x, w):
+            return jnp.sum(jnp.sin(conv2d_valid_khgemm_hybrid(x, w) * 0.1))
+
+        def loss_lax(x, w):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return jnp.sum(jnp.sin(y * 0.1))
+
+        (dx1, dw1) = jax.grad(loss_hy, argnums=(0, 1))(x, w)
+        (dx2, dw2) = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), rtol=2e-4, atol=2e-4)
+
+    def test_hybrid_conv_impl_builds_and_trains(self):
+        """conv_impl="khgemm_hybrid" declares the same parameter tree and
+        produces finite gradients through a ConvBlock."""
+        from tpumix.models.blocks import ConvBlock2d
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 16, 12, 4)), jnp.float32)
+        blocks = {
+            impl: ConvBlock2d(features=8, kernel_size=3, conv_impl=impl)
+            for impl in ("xla", "khgemm", "khgemm_hybrid")
+        }
+        params = {
+            impl: b.init(jax.random.key(0), jnp.zeros_like(x), train=False)
+            for impl, b in blocks.items()
+        }
+        trees = {
+            impl: jax.tree_util.tree_structure(p) for impl, p in params.items()
+        }
+        assert trees["xla"] == trees["khgemm"] == trees["khgemm_hybrid"]
+        y_h = blocks["khgemm_hybrid"].apply(params["xla"], x, train=False)
+        y_x = blocks["xla"].apply(params["xla"], x, train=False)
+        np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_x), atol=1e-5)
+        g = jax.grad(
+            lambda p: jnp.sum(
+                blocks["khgemm_hybrid"].apply(
+                    p, x, train=True, rngs={"dropout": jax.random.key(1)},
+                    mutable=["batch_stats"],
+                )[0]
+                ** 2
+            )
+        )(params["xla"])
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()

@@ -51,6 +51,9 @@ class KhGemmConv(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     kernel_dilation: Tuple[int, int] = (1, 1)
     dtype: Dtype = jnp.float32
+    # "khgemm" = hand-derived dense VJP; "xla" = hybrid (khgemm forward,
+    # lax.conv backward — the measured training winner, docs/PERF.md)
+    vjp: str = "khgemm"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +72,7 @@ class KhGemmConv(nn.Module):
             kernel.astype(self.dtype),
             strides=self.strides,
             dilation=self.kernel_dilation,
+            vjp=self.vjp,
         )
         return y + bias.astype(self.dtype)
 
@@ -186,13 +190,14 @@ class ConvBlock2d(nn.Module):
             # conv + BN + ReLU in one VMEM-resident pass; dropout is an
             # eval-mode no-op
             return fused(x, kernel, s, t)
-        if self.conv_impl in ("khgemm", "pallas"):
+        if self.conv_impl in ("khgemm", "khgemm_hybrid", "pallas"):
             x = KhGemmConv(
                 features=self.features,
                 kernel_size=_pair(self.kernel_size),
                 strides=(self.strides, self.strides),
                 kernel_dilation=(self.dilation, self.dilation),
                 dtype=self.dtype,
+                vjp="xla" if self.conv_impl == "khgemm_hybrid" else "khgemm",
                 name="conv",
             )(x)
         else:

@@ -24,10 +24,10 @@ from tpumix.models.scalar import (
 def build_model(cfg: ModelConfig, for_training: bool = False):
     """``for_training`` steers the conv_impl="auto" resolution: khgemm's
     widened GEMM wins the forward pass on the MXU (975 vs 672 audio-s/s on
-    the fused mixing pipeline) but its BACKWARD loses even with the
-    hand-derived dense VJP (338 vs 149 ms/step pipelined at batch 48x2s —
-    the dense-transpose-conv dx re-pays the forward FLOPs on worse MXU
-    shapes, docs/PERF.md round-3 close-out), so auto = khgemm only for TPU
+    the fused mixing pipeline) but every khgemm-forward training variant
+    loses (ms/step pipelined at batch 48x2s: lax.conv 149.9, khgemm forward
+    + lax.conv backward 197.2, khgemm + hand-derived dense VJP 339.3 —
+    docs/PERF.md round-3 close-outs), so auto = khgemm only for TPU
     inference."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     conv_impl = cfg.conv_impl

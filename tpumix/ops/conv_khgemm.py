@@ -114,15 +114,52 @@ def _khgemm_bwd(res, g):
 conv2d_valid_khgemm.defvjp(_khgemm_fwd, _khgemm_bwd)
 
 
+def _lax_conv_valid(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@jax.custom_vjp
+def conv2d_valid_khgemm_hybrid(x: jax.Array, w: jax.Array) -> jax.Array:
+    """khgemm FORWARD with lax.conv's own backward (``conv_impl="khgemm_hybrid"``).
+
+    The round-3 close-out measured the hand-derived khgemm VJP at 338 ms/step
+    vs lax.conv's 149 (docs/PERF.md) — the *backward* is where khgemm loses.
+    This variant takes the best of each: the widened-lane GEMM forward (the
+    measured forward winner) while the cotangent flows through XLA's fused
+    ``conv_general_dilated`` transpose kernels, valid because the two
+    forwards compute the same function to f32 reassociation.
+    """
+    return _khgemm_impl(x, w)
+
+
+def _hybrid_fwd(x, w):
+    return _khgemm_impl(x, w), (x, w)
+
+
+def _hybrid_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(_lax_conv_valid, x, w)
+    return vjp(g)
+
+
+conv2d_valid_khgemm_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
     strides: Tuple[int, int] = (1, 1),
     dilation: Tuple[int, int] = (1, 1),
+    vjp: str = "khgemm",
 ) -> jax.Array:
     """VALID conv dispatch: khgemm for the stride-1/dilation-1 hot layers,
-    lax.conv for the rest (conv1's stride 2 / Scalar2s's dilation 2)."""
+    lax.conv for the rest (conv1's stride 2 / Scalar2s's dilation 2).
+    ``vjp="xla"`` selects the hybrid (khgemm forward, lax.conv backward)."""
     if strides == (1, 1) and dilation == (1, 1):
+        if vjp == "xla":
+            return conv2d_valid_khgemm_hybrid(x, w)
         return conv2d_valid_khgemm(x, w)
     return jax.lax.conv_general_dilated(
         x,
