@@ -17,6 +17,14 @@ neighbour stretch to sample level (:12-41), and per-stem waveform scaling
 program serves a whole catalogue; the chunk axis shards across a device mesh
 for multi-chip mixing.
 
+For deployments whose stems live in device-adjacent storage there is also a
+FULLY device-resident path (``mix_song_smooth_device`` / ``mix_song_device``):
+the smoothing epilogue itself (savgol FIR + edge fits, mask stretch, scaling,
+mixdown, peak normalisation) runs as one jitted program and the host never
+touches a sample.  In this environment the wire-transfer path stays the
+end-to-end default because only the tiny gain curve must return to the host;
+the device epilogue is the number a production chip sees (docs/PERF.md).
+
 Reference-semantics notes (preserved deliberately):
 * gains are computed for windows ``[(i-1)C, iC)`` for ``i in 1..num_chunks``,
   i.e. the LAST chunk gets no gain of its own and the gain curve has
@@ -41,8 +49,10 @@ import numpy as np
 from tpumix.config import MixConfig, ModelConfig
 from tpumix.ops.smoothing import (
     default_savgol_window,
+    interpolate_mask,
     interpolate_mask_np,
     savgol_smooth,
+    savgol_smooth_jax,
 )
 from tpumix.ops.stft import spectrogram_features
 
@@ -164,6 +174,7 @@ class SongMixer:
             )
         self.transfer_dtype = transfer_dtype
         self._packer: Optional[ThreadPoolExecutor] = None
+        self._epilogue_cache: Dict[Tuple[int, int], callable] = {}
 
         @functools.partial(jax.jit, static_argnames=("n_chunks",))
         def gains_fn(
@@ -301,6 +312,137 @@ class SongMixer:
             indexing, see module docstring).
         """
         return self.collect_gains(self.song_gains_async(stems))
+
+    # --- fully device-resident mixing ---------------------------------------
+
+    def song_gains_device(self, stems_dev: jax.Array):
+        """Per-chunk gains for stems already RESIDENT in HBM — no host
+        packing, no wire quantisation, no transfer.  Returns
+        ``song_gains_async``-style ``(handle, n)`` futures over the same
+        fixed-shape compiled segment program (slice/pad happen as device
+        ops, dispatched asynchronously so segments pipeline)."""
+        num_stems, S = stems_dev.shape
+        C = self.chunk_samples
+        n_gains = S // C - 1
+        if n_gains <= 0:
+            return []
+        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
+        if self.mesh is not None and self.chunk_axis is not None:
+            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
+            seg = -(-seg // axis) * axis
+        stems_dev = jnp.asarray(stems_dev, jnp.float32)
+        futures = []
+        for lo in range(0, n_gains, seg):
+            n = min(seg, n_gains - lo)
+            flat = jax.lax.slice(stems_dev, (0, lo * C), (num_stems, (lo + n) * C))
+            if n < seg:
+                flat = jnp.pad(flat, ((0, 0), (0, (seg - n) * C)))
+            futures.append((self._gains_fn(flat, seg), n))
+        return futures
+
+    def _device_epilogue(self, S: int, n_gains: int):
+        """One jitted program for the whole smoothing epilogue at a static
+        ``(song samples, gain count)`` shape: dB->amplitude, Savitzky-Golay
+        (same window policy as the host path), nearest-neighbour stretch,
+        per-stem scaling, mixdown, peak normalisation.  Compiles are cheap
+        (pure elementwise + two tiny matmuls) and cached per shape."""
+        key = (S, n_gains)
+        fn = self._epilogue_cache.get(key)
+        if fn is not None:
+            return fn
+        num_chunks = S // self.chunk_samples
+        if n_gains >= 3:
+            win = self.mix_cfg.savgol_window or default_savgol_window(num_chunks)
+            # curve length is the hard cap, polyorder bends to the window —
+            # identical policy to the host `_apply_gains`
+            win = max(min(win, n_gains if n_gains % 2 else n_gains - 1), 1)
+            poly = min(self.mix_cfg.savgol_polyorder, win - 1)
+        else:
+            win = poly = None
+
+        @jax.jit
+        def epilogue(stems: jax.Array, gains: jax.Array):
+            # stems [num_stems, S] f32; gains [n_gains, num_stems] dB-domain
+            amp = jnp.power(10.0, 0.5 * gains)  # scalar_dB_to_amplitude
+            curves = amp.T  # [num_stems, n_gains]
+            smoothed = (
+                savgol_smooth_jax(curves, win, poly) if win is not None else curves
+            )
+            masks = interpolate_mask(smoothed, S)  # [num_stems, S]
+            mixed_tracks = stems * masks
+            mixed = jnp.sum(mixed_tracks, axis=0)
+            peak = jnp.max(jnp.abs(mixed))
+            mixed = jnp.where(peak > 0.0, mixed / peak, mixed)
+            return mixed_tracks, mixed, smoothed
+
+        self._epilogue_cache[key] = epilogue
+        return epilogue
+
+    def _full_mix_program(self, S: int):
+        """ONE jitted program per song-sample count: segment slicing/padding,
+        every segment's gain computation, and the whole smoothing epilogue
+        traced together.  A single dispatch per song — through a remote
+        runtime each separate dispatch carries milliseconds of host overhead
+        (measured: the 5-dispatch variant cost ~34 ms/song over the fused
+        one, docs/PERF.md)."""
+        key = ("full", S)
+        fn = self._epilogue_cache.get(key)
+        if fn is not None:
+            return fn
+        C = self.chunk_samples
+        n_gains = S // C - 1
+        num_stems = len(STEMS)
+        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
+        if self.mesh is not None and self.chunk_axis is not None:
+            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
+            seg = -(-seg // axis) * axis
+        epilogue = self._device_epilogue(S, n_gains)
+
+        @jax.jit
+        def full(stems: jax.Array):
+            parts = []
+            for lo in range(0, n_gains, seg):
+                n = min(seg, n_gains - lo)
+                flat = jax.lax.slice(stems, (0, lo * C), (num_stems, (lo + n) * C))
+                if n < seg:
+                    flat = jnp.pad(flat, ((0, 0), (0, (seg - n) * C)))
+                parts.append(self._gains_fn(flat, seg)[:n])  # jit-of-jit inlines
+            gains = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            return epilogue(stems, gains)
+
+        self._epilogue_cache[key] = full
+        return full
+
+    def mix_song_smooth_device(self, stems):
+        """Fully device-resident ``mix_song_smooth``: gains, smoothing, mask
+        stretch, scaling, and mixdown ALL inside ONE device program — the
+        host never touches a sample.  This is the production path when stems
+        live in device-adjacent storage (the wire-transfer path is
+        :meth:`mix_song_smooth`).
+
+        :param stems: ``[4, S]`` mono stem waveforms (tpumix STEMS order) —
+            a device array, or a host array/track dict that will be put once.
+        :return: ``(mixed_tracks [4, S], mixed [S] peak-normalised,
+            smooth_amp_curves [4, n_gains])`` — DEVICE arrays.
+        """
+        if isinstance(stems, dict):
+            stems = np.stack([self._mono(stems[t]) for t in STEMS])
+        stems_dev = jnp.asarray(stems, dtype=jnp.float32)
+        num_stems, S = stems_dev.shape
+        if S // self.chunk_samples - 1 <= 0:
+            # song shorter than two chunks: stems pass through unmodified
+            # (host-path semantics), mixdown still normalised
+            mixed = jnp.sum(stems_dev, axis=0)
+            peak = jnp.max(jnp.abs(mixed))
+            mixed = jnp.where(peak > 0.0, mixed / peak, mixed)
+            return stems_dev, mixed, jnp.zeros((num_stems, 0), jnp.float32)
+        return self._full_mix_program(S)(stems_dev)
+
+    def mix_song_device(self, stems) -> jax.Array:
+        """Device-resident :meth:`mix_song`: one peak-normalised mixed
+        waveform ``[S]`` as a device array."""
+        _, mixed, _ = self.mix_song_smooth_device(stems)
+        return mixed
 
     # --- host epilogue -------------------------------------------------------
 

@@ -119,8 +119,18 @@ def interpolate_mask_np(spec_mask: np.ndarray, tgt_len: int) -> np.ndarray:
 
 
 def interpolate_mask(spec_mask: jax.Array, tgt_len: int) -> jax.Array:
-    """jnp variant of :func:`interpolate_mask_np` (vmappable over stems)."""
+    """jnp variant of :func:`interpolate_mask_np` (vmappable over stems).
+
+    Built as ``repeat`` + broadcast tail (static shapes) rather than a
+    ``tgt_len``-element gather: XLA lowers the repeat to broadcast+reshape,
+    which is copy-bandwidth on TPU where the 10M-index gather is not."""
     n = spec_mask.shape[-1]
     coef = tgt_len // n
-    j = jnp.minimum(jnp.arange(tgt_len) // coef, n - 1)
-    return spec_mask[..., j]
+    body = jnp.repeat(spec_mask, coef, axis=-1)  # [..., n*coef]
+    tail = tgt_len - n * coef
+    if tail == 0:
+        return body
+    last = jnp.broadcast_to(
+        spec_mask[..., -1:], (*spec_mask.shape[:-1], tail)
+    )
+    return jnp.concatenate([body, last], axis=-1)
