@@ -34,29 +34,35 @@ class FrontendConfig:
     db_multiplier: float = 20.0
     center: bool = True
     pad_mode: str = "reflect"
-    # "auto"     : "ct_pallas" on TPU backends (when applicable), falling back
-    #              to "pallas" (n_fft % hop == 0) and then "fft"
-    # "fft"      : jnp.fft.rfft based (XLA FFT)
-    # "matmul"   : real-valued DFT as two matmuls against precomputed bases (MXU)
-    # "ct"       : Cooley-Tukey factorized DFT matmuls at the XLA level
-    # "pallas"   : fused Pallas framing+DFT+log-magnitude kernel (TPU only)
-    # "ct_pallas": fused Pallas factorized-DFT kernel — the measured TPU
-    #              winner (14.1 vs 18.8 ms/segment, docs/PERF.md round 3)
+    # "auto"      : best applicable fused kernel on TPU backends
+    #               (dif_pallas -> ct_pallas -> pallas), "fft" elsewhere
+    # "fft"       : jnp.fft.rfft based (XLA FFT)
+    # "matmul"    : real-valued DFT as two matmuls against precomputed bases (MXU)
+    # "ct"        : Cooley-Tukey factorized DFT matmuls at the XLA level
+    # "pallas"    : fused Pallas framing+DFT+log-magnitude kernel (TPU only)
+    # "ct_pallas" : fused Pallas decimation-in-TIME factorized kernel
+    #               (14.1 vs 18.8 ms/segment over the naive basis)
+    # "dif_pallas": fused Pallas decimation-in-FREQUENCY factorized kernel —
+    #               the measured TPU winner (9.8 vs 13.8 ms/segment over
+    #               ct_pallas: no phase-transpose prebuild, docs/PERF.md)
     implementation: str = "auto"
 
     def resolved_implementation(self) -> str:
         """Concrete implementation for the current default backend: the fused
-        factorized-DFT Pallas kernel is the production default on TPU
-        (conformance bounds in tests/test_stft_ct_pallas.py), the naive-basis
-        fused kernel for configs the factorization can't frame (hop not a
-        multiple of 16), XLA FFT elsewhere."""
+        DIF factorized kernel is the production default on TPU (conformance
+        bounds in tests/test_stft_dif_pallas.py), then the DIT factorized
+        kernel (hop % 16 == 0 but hop % 128 != 0), then the naive-basis
+        fused kernel (any n_fft % hop == 0), XLA FFT elsewhere."""
         if self.implementation != "auto":
             return self.implementation
         from tpumix.utils.backend import is_tpu_backend
 
         if is_tpu_backend():
             from tpumix.ops.stft import ct_applicable
+            from tpumix.ops.stft_dif_pallas import dif_applicable
 
+            if dif_applicable(self):
+                return "dif_pallas"
             if ct_applicable(self):
                 return "ct_pallas"
             if self.n_fft % self.hop_length == 0:

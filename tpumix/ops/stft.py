@@ -289,6 +289,11 @@ def stft_magnitude(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> jax.Ar
 
         db = stft_features_ct_pallas_tm(x, cfg)
         return jnp.exp(db * (math.log(10.0) / cfg.db_multiplier))
+    if impl == "dif_pallas":
+        from tpumix.ops.stft_dif_pallas import stft_features_dif_pallas_tm
+
+        db = stft_features_dif_pallas_tm(x, cfg)
+        return jnp.exp(db * (math.log(10.0) / cfg.db_multiplier))
     return _stft_mag_fft(x, cfg)
 
 
@@ -308,6 +313,10 @@ def spectrogram_features(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> 
         from tpumix.ops.stft_ct_pallas import stft_features_ct_pallas_tm
 
         return jnp.swapaxes(stft_features_ct_pallas_tm(x, cfg), -1, -2)
+    if impl == "dif_pallas":
+        from tpumix.ops.stft_dif_pallas import stft_features_dif_pallas_tm
+
+        return jnp.swapaxes(stft_features_dif_pallas_tm(x, cfg), -1, -2)
     mag = stft_magnitude(x, cfg)  # [..., frames, bins]
     db = amplitude_to_db(mag, amin=cfg.amin, multiplier=cfg.db_multiplier)
     return jnp.swapaxes(db, -1, -2)
@@ -350,5 +359,9 @@ def spectrogram_features_tm(x: jax.Array, cfg: Optional[FrontendConfig] = None) 
         from tpumix.ops.stft_ct_pallas import stft_features_ct_pallas_tm
 
         return stft_features_ct_pallas_tm(x, cfg)
+    if impl == "dif_pallas":
+        from tpumix.ops.stft_dif_pallas import stft_features_dif_pallas_tm
+
+        return stft_features_dif_pallas_tm(x, cfg)
     mag = stft_magnitude(x, cfg)
     return amplitude_to_db(mag, amin=cfg.amin, multiplier=cfg.db_multiplier)

@@ -103,6 +103,10 @@ def make_frontend_fn(frontend: FrontendConfig) -> Callable:
             from tpumix.ops.stft_ct_pallas import stft_features_ct_tm_hybrid
 
             return jnp.swapaxes(stft_features_ct_tm_hybrid(x, frontend), -1, -2)
+        if impl == "dif_pallas":
+            from tpumix.ops.stft_dif_pallas import stft_features_dif_tm_hybrid
+
+            return jnp.swapaxes(stft_features_dif_tm_hybrid(x, frontend), -1, -2)
         return spectrogram_features(x, frontend)
 
     return _features
