@@ -134,3 +134,32 @@ class TestDeviceEpilogueParity:
         mixed = np.asarray(mixer.mix_song_device(song))
         assert mixed.shape == (len(song["bass"]),)
         assert np.max(np.abs(mixed)) == pytest.approx(1.0, rel=1e-6)
+
+
+class TestCatalogDeviceMix:
+    def test_catalog_device_mix_matches_host_mono(self, model_and_vars, tmp_path):
+        import os
+
+        from tpumix.data import wavio
+        from tpumix.infer.catalog import mix_catalog
+        from test_data import make_song as make_song_files
+
+        base = str(tmp_path / "cat")
+        os.makedirs(base)
+        make_song_files(base, "DevA", 4.0, seed=11, stereo=False)
+        mixer = _mixer(model_and_vars)
+
+        host_out = str(tmp_path / "host")
+        dev_out = str(tmp_path / "dev")
+        mix_catalog(mixer, base, ["DevA"], host_out)
+        written = mix_catalog(mixer, base, ["DevA"], dev_out, device_mix=True)
+        assert len(written) == 1
+
+        host_mix, sr = wavio.read(os.path.join(host_out, "DevA_mixed.wav"))
+        dev_mix, sr2 = wavio.read(written[0])
+        assert sr == sr2
+        # the test fixture's stems are mono, so the host (track-domain) and
+        # device (mono-downmix) mixes coincide up to f32 epilogue rounding
+        np.testing.assert_allclose(
+            np.squeeze(dev_mix), np.squeeze(host_mix), rtol=1e-4, atol=1e-5
+        )

@@ -271,6 +271,7 @@ def cmd_mix(args) -> int:
     # prints as each file lands (a long sweep would otherwise look hung)
     mix_catalog(mixer, args.data, songs, args.out,
                 layout=args.layout, naive_sum=args.naive_sum,
+                device_mix=args.device_mix,
                 on_written=lambda p: print(f"[mix] {p}", flush=True))
     return 0
 
@@ -497,6 +498,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--song", default="", help="single song name")
     sp.add_argument("--out", default="./mixed")
     sp.add_argument("--naive-sum", action="store_true", help="also export raw stem sums")
+    sp.add_argument("--device-mix", action="store_true",
+                    help="run smoothing epilogue + mixdown on device (one "
+                         "program per song; writes the mono downmix)")
     sp.set_defaults(fn=cmd_mix)
 
     sp = sub.add_parser("evaluate", help="loudness evaluation sweep")

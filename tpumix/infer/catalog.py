@@ -55,12 +55,20 @@ def mix_catalog(
     prefetch: int = 2,
     sr: int = 44100,
     on_written=None,
+    device_mix: bool = False,
 ) -> List[str]:
     """Mix each song; returns the written mixed-wav paths.
 
     ``on_written(path)`` fires as each song's file lands — progress for
     long catalogue sweeps (minutes of wall time on link-bound hosts) instead
-    of silence until the final return."""
+    of silence until the final return.
+
+    ``device_mix=True`` runs the ENTIRE mix on device
+    (``SongMixer.mix_song_smooth_device``: smoothing epilogue + mixdown +
+    peak normalisation in one program) and downloads only the finished mono
+    mix for the wav write.  Output is the mono downmix (the model's feature
+    path); the default host epilogue instead scales the original, possibly
+    stereo, tracks before summing."""
     os.makedirs(out_dir, exist_ok=True)
     loader = load_tracks_musdb18 if layout == "musdb18" else load_tracks
 
@@ -87,12 +95,17 @@ def mix_catalog(
 
     def drain_one():
         song, tracks, mono_stems, handle = pending.pop(0)
-        gains = mixer.collect_gains(handle)
-        mixed_tracks, _, _ = mixer._apply_gains(tracks, mono_stems.shape[1], gains)
-        total = sum(np.asarray(v, dtype=np.float32) for v in mixed_tracks.values())
-        peak = float(np.max(np.abs(total))) or 1.0
         out_path = os.path.join(out_dir, f"{song}_mixed.wav")
-        wavio.write(out_path, (total / peak).T, sr)
+        if device_mix:
+            # handle is the device triple; the mix is already normalised
+            total = np.asarray(handle[1], dtype=np.float32)  # [S]
+            wavio.write(out_path, total, sr)
+        else:
+            gains = mixer.collect_gains(handle)
+            mixed_tracks, _, _ = mixer._apply_gains(tracks, mono_stems.shape[1], gains)
+            total = sum(np.asarray(v, dtype=np.float32) for v in mixed_tracks.values())
+            peak = float(np.max(np.abs(total))) or 1.0
+            wavio.write(out_path, (total / peak).T, sr)
         written.append(out_path)
         if on_written is not None:
             on_written(out_path)
@@ -109,7 +122,12 @@ def mix_catalog(
         if err is not None:
             raise err
         mono_stems = np.stack([mixer._mono(tracks[t]) for t in STEMS])
-        pending.append((song, tracks, mono_stems, mixer.song_gains_async(mono_stems)))
+        handle = (
+            mixer.mix_song_smooth_device(mono_stems)
+            if device_mix
+            else mixer.song_gains_async(mono_stems)
+        )
+        pending.append((song, tracks, mono_stems, handle))
         while len(pending) > prefetch:
             drain_one()
     while pending:
