@@ -136,6 +136,31 @@ class TestDeviceEpilogueParity:
         assert np.max(np.abs(mixed)) == pytest.approx(1.0, rel=1e-6)
 
 
+class TestShardedDeviceMix:
+    def test_chunk_sharded_device_mix_matches_plain(self, model_and_vars, song):
+        """The fused full-mix program must give the same mix when the gain
+        computation's chunk axis is sharded over an 8-device mesh."""
+        from tpumix.parallel.mesh import make_mesh
+
+        plain = _mixer(model_and_vars)
+        model, variables = model_and_vars
+        from tpumix.config import ModelConfig
+
+        cfg = ModelConfig(name="scalar1s", chunk_length_s=1.0, hop_length=512)
+        mesh = make_mesh((8,), ("sp",))
+        from tpumix.infer.mixer import SongMixer
+
+        sharded = SongMixer(model, variables, cfg, mesh=mesh, chunk_axis="sp")
+        _, mix_a, sm_a = plain.mix_song_smooth_device(song)
+        _, mix_b, sm_b = sharded.mix_song_smooth_device(song)
+        np.testing.assert_allclose(
+            np.asarray(sm_a), np.asarray(sm_b), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(mix_a), np.asarray(mix_b), rtol=1e-4, atol=1e-4
+        )
+
+
 class TestCatalogDeviceMix:
     def test_catalog_device_mix_matches_host_mono(self, model_and_vars, tmp_path):
         import os

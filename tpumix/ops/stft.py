@@ -9,7 +9,7 @@ Contract parity with the reference frontend (reference data/dataset.py:132-162):
                                                            # db_multiplier=0
     # output shape [n_fft//2+1, 1 + len(x)//H]  == [1025, frames]
 
-Three interchangeable implementations behind one signature:
+Interchangeable implementations behind one signature:
 
 * ``implementation="fft"``    — framing (strided gather) + jnp.fft.rfft.  XLA's
   native FFT; the default and the conformance oracle for the other two.
@@ -25,6 +25,12 @@ Three interchangeable implementations behind one signature:
   padded waveform inside VMEM (never materialising the 2x-redundant frame
   matrix in HBM), DFT matmul, magnitude and log fused in one pass
   (tpumix/ops/stft_pallas.py).
+* ``implementation="ct_pallas"`` — fused decimation-in-time factorized kernel
+  (tpumix/ops/stft_ct_pallas.py): the "ct" math with every stage intermediate
+  in VMEM; needs an XLA phase-frame prebuild.
+* ``implementation="dif_pallas"`` — fused decimation-in-FREQUENCY factorized
+  kernel (tpumix/ops/stft_dif_pallas.py): frame-contiguous blocks need no
+  prebuild at all — the measured TPU winner and the ``"auto"`` default there.
 
 All entry points accept arbitrary leading batch dims and operate over the last
 (sample) axis; everything is jit/vmap/shard_map-compatible (static shapes, no
