@@ -239,7 +239,13 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
 
 
 def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
-    """Reference-pipeline audio-seconds/sec on the host CPU."""
+    """Reference-pipeline audio-seconds/sec on the host CPU.
+
+    Best of 3 timed passes: the 1x denominator otherwise swings ~2x with
+    ambient host load (observed 3.1-5.6 across bench runs), which whipsaws
+    ``vs_baseline`` for reasons that have nothing to do with either pipeline.
+    Best-of is the fastest the reference pipeline actually goes on this host
+    — the conservative choice for the ratio."""
     import torch
 
     from tpumix.utils.reference_pipeline import (
@@ -256,10 +262,12 @@ def bench_cpu_reference(model, variables, song_s: float = 16.0) -> float:
     # warm-up a couple of chunks, then time the full song
     reference_mix_song_smooth(twin, {k: v[: 3 * 88200] for k, v in song.items()},
                               chunk_length=2.0, hop=512)
-    tic = time.perf_counter()
-    reference_mix_song_smooth(twin, song, chunk_length=2.0, hop=512)
-    dt = time.perf_counter() - tic
-    return song_s / dt
+    best = float("inf")
+    for _ in range(3):
+        tic = time.perf_counter()
+        reference_mix_song_smooth(twin, song, chunk_length=2.0, hop=512)
+        best = min(best, time.perf_counter() - tic)
+    return song_s / best
 
 
 def _emit(state: dict) -> dict:
