@@ -129,6 +129,18 @@ class TestDeviceEpilogueParity:
                 np.asarray(dev_smooth)[i], np.asarray(host_smooth[t]), rtol=1e-5
             )
 
+    def test_song_gains_device_matches_host_path(self, model_and_vars, song):
+        """HBM-resident gains (no packing/wire) == the wire-transfer path,
+        segmented and unsegmented."""
+        stems = np.stack([song[t] for t in STEMS])
+        for kwargs in ({}, {"max_chunks": 4}):
+            mixer = _mixer(model_and_vars, **kwargs)
+            host_gains = mixer.song_gains(stems)
+            dev_gains = mixer.collect_gains(
+                mixer.song_gains_device(jnp.asarray(stems))
+            )
+            np.testing.assert_allclose(dev_gains, host_gains, rtol=1e-5, atol=1e-5)
+
     def test_mix_song_device_is_normalised(self, model_and_vars, song):
         mixer = _mixer(model_and_vars)
         mixed = np.asarray(mixer.mix_song_device(song))

@@ -749,6 +749,27 @@ class TestLstsqLoss:
                 pert = amp_star.at[:, s].add(d)
                 assert resid(pert) > base
 
+    def test_targets_finite_for_silent_stems(self):
+        """An all-silent batch item (song intro/outro window on a real
+        corpus) must NOT poison the targets with NaN: gram == 0 makes the
+        relative Tikhonov jitter vanish, so the absolute floor + finite
+        guard must carry it to the quiet-floor gain instead (round-3
+        review finding)."""
+        from tpumix.train.state import _lstsq_gain_targets
+
+        rng = np.random.default_rng(7)
+        stems = jnp.asarray(rng.standard_normal((3, 4, 2000)), jnp.float32) * 0.2
+        mix = jnp.sum(stems, axis=1)
+        stems = stems.at[1].set(0.0)  # one silent item mid-batch
+        mix = mix.at[1].set(0.0)
+        g_star = np.asarray(_lstsq_gain_targets(stems, mix))
+        assert np.all(np.isfinite(g_star))
+        # the silent item clamps to the quiet floor: 2*log10(1e-3) = -6
+        np.testing.assert_allclose(g_star[1], -6.0, atol=1e-5)
+        # neighbours are unaffected
+        exact = np.asarray(_lstsq_gain_targets(stems[::2], mix[::2]))
+        np.testing.assert_allclose(g_star[::2], exact, rtol=1e-5, atol=1e-5)
+
     def test_lstsq_step_descends(self, data):
         model = MixingModelScalar1s()
         tx = adam_with_l2(1e-3, 1e-5)

@@ -359,17 +359,24 @@ def cmd_serve(args) -> int:
 
     mixer = _load_mixer(args)
     httpd = serve(mixer, host=args.host, port=args.port, model_name=args.model)
+    # accept connections BEFORE warming: warm() promises "/healthz responds
+    # throughout and reports 'warm'", which requires the accept loop to be
+    # live during the multi-minute cold compile (otherwise a readiness probe
+    # sees a dead server and kill-loops the process)
+    import threading
+
+    server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    server_thread.start()
     if not args.no_warmup:
-        # compile before taking traffic: a cold remote compile costs minutes,
-        # and paying it on a user's first request reads as an outage
         print("[serve] warming device programs (cold compiles can take "
               "minutes; /healthz reports \"warm\")...", flush=True)
         httpd.service.warm()
     print(f"[serve] {args.model} on http://{args.host}:{args.port}")
     try:
-        httpd.serve_forever()
+        while server_thread.is_alive():
+            server_thread.join(timeout=1.0)
     except KeyboardInterrupt:
-        pass
+        httpd.shutdown()
     return 0
 
 

@@ -214,11 +214,7 @@ class SongMixer:
         if n_gains <= 0:
             return []
 
-        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
-        if self.mesh is not None and self.chunk_axis is not None:
-            # keep the sharded chunk axis divisible by the mesh axis
-            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
-            seg = -(-seg // axis) * axis
+        seg = self._segment_len()
 
         # one fixed-shape compiled program looped over song segments; calls
         # dispatch asynchronously so transfer of segment k+1 overlaps the
@@ -315,21 +311,29 @@ class SongMixer:
 
     # --- fully device-resident mixing ---------------------------------------
 
+    def _segment_len(self) -> int:
+        """Chunks per compiled segment program, rounded up so a sharded
+        chunk axis stays divisible by its mesh axis."""
+        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
+        if self.mesh is not None and self.chunk_axis is not None:
+            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
+            seg = -(-seg // axis) * axis
+        return seg
+
     def song_gains_device(self, stems_dev: jax.Array):
         """Per-chunk gains for stems already RESIDENT in HBM — no host
         packing, no wire quantisation, no transfer.  Returns
         ``song_gains_async``-style ``(handle, n)`` futures over the same
         fixed-shape compiled segment program (slice/pad happen as device
-        ops, dispatched asynchronously so segments pipeline)."""
+        ops, dispatched asynchronously so segments pipeline).  Traceable:
+        ``_full_mix_program`` calls it inside ``jax.jit``, where the segment
+        programs inline into the single fused per-song program."""
         num_stems, S = stems_dev.shape
         C = self.chunk_samples
         n_gains = S // C - 1
         if n_gains <= 0:
             return []
-        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
-        if self.mesh is not None and self.chunk_axis is not None:
-            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
-            seg = -(-seg // axis) * axis
+        seg = self._segment_len()
         stems_dev = jnp.asarray(stems_dev, jnp.float32)
         futures = []
         for lo in range(0, n_gains, seg):
@@ -389,24 +393,13 @@ class SongMixer:
         fn = self._epilogue_cache.get(key)
         if fn is not None:
             return fn
-        C = self.chunk_samples
-        n_gains = S // C - 1
-        num_stems = len(STEMS)
-        seg = self.mix_cfg.max_chunks or SEGMENT_CHUNKS
-        if self.mesh is not None and self.chunk_axis is not None:
-            axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[self.chunk_axis]
-            seg = -(-seg // axis) * axis
+        n_gains = S // self.chunk_samples - 1
         epilogue = self._device_epilogue(S, n_gains)
 
         @jax.jit
         def full(stems: jax.Array):
-            parts = []
-            for lo in range(0, n_gains, seg):
-                n = min(seg, n_gains - lo)
-                flat = jax.lax.slice(stems, (0, lo * C), (num_stems, (lo + n) * C))
-                if n < seg:
-                    flat = jnp.pad(flat, ((0, 0), (0, (seg - n) * C)))
-                parts.append(self._gains_fn(flat, seg)[:n])  # jit-of-jit inlines
+            # jit-of-jit: each traced segment program inlines here
+            parts = [g[:n] for g, n in self.song_gains_device(stems)]
             gains = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             return epilogue(stems, gains)
 

@@ -188,6 +188,37 @@ def _ct_bases_np(n_fft: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nda
     )
 
 
+def ct_phase_frames(x: jax.Array, cfg: FrontendConfig):
+    """Phase-decimated frame tensor shared by the XLA ``ct`` path and the
+    fused ``ct_pallas`` kernel (they must frame identically — a pad_mode or
+    indexing fix here reaches both).
+
+    ``xph[b, p, m] = padded_x[b, N1*m + p]``; within phase ``p``, frame ``t``
+    spans phase-samples ``[t*hop_ph, t*hop_ph + N2)`` — with rows of
+    ``hop_ph`` samples that is rows ``t..t+r-1`` concatenated
+    (``n2 = j*hop_ph + s <-> row t+j, position s``, ``r = n2v // hop_ph``).
+
+    :return: ``(frames_ph [B, N1, T, N2] f32, lead shape tuple, T)``.
+    """
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    n1v = _CT_N1
+    hop_ph = hop // n1v
+    r = n_fft // hop
+    n2v = n_fft // n1v
+
+    lead = x.shape[:-1]
+    S = x.shape[-1]
+    T = 1 + S // hop
+    B = int(np.prod(lead)) if lead else 1
+    xb = x.reshape(B, S).astype(jnp.float32)
+    xp = _pad_center(xb, n_fft, cfg.pad_mode)[:, : (T + r - 1) * hop]
+    xph = xp.reshape(B, (T + r - 1) * hop // n1v, n1v).transpose(0, 2, 1)
+    rows = xph.reshape(B, n1v, T + r - 1, hop_ph)
+    segs = [rows[:, :, j : j + T] for j in range(r)]
+    frames_ph = jnp.stack(segs, axis=3).reshape(B, n1v, T, n2v)
+    return frames_ph, lead, T
+
+
 def _stft_mag_ct(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
     """Cooley-Tukey factorized real DFT (``implementation="ct"``).
 
@@ -201,27 +232,13 @@ def _stft_mag_ct(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
     """
     if not ct_applicable(cfg):
         return _stft_mag_matmul(x, cfg)
-    n_fft, hop = cfg.n_fft, cfg.hop_length
+    n_fft = cfg.n_fft
     n1v, n2v = _CT_N1, n_fft // _CT_N1
     k2u = n2v // 2 + 1
     k1u = n1v // 2 + 1
-    hop_ph = hop // n1v
-    r = n_fft // hop
 
-    lead = x.shape[:-1]
-    S = x.shape[-1]
-    T = 1 + S // hop
-    B = int(np.prod(lead)) if lead else 1
-    xb = x.reshape(B, S).astype(jnp.float32)
-    xp = _pad_center(xb, n_fft, cfg.pad_mode)[:, : (T + r - 1) * hop]
-    # phase decimation: xph[b, p, m] = xp[b, N1*m + p]
-    xph = xp.reshape(B, (T + r - 1) * hop // n1v, n1v).transpose(0, 2, 1)
-    # within phase p, frame t spans phase-samples [t*hop_ph, t*hop_ph + N2):
-    # with rows of hop_ph samples that is rows t..t+r-1 concatenated
-    # (n2 = j*hop_ph + s  <->  row t+j, position s), r = n2v // hop_ph
-    rows = xph.reshape(B, n1v, T + r - 1, hop_ph)
-    segs = [rows[:, :, j : j + T] for j in range(r)]
-    frames_ph = jnp.stack(segs, axis=3).reshape(B, n1v, T, n2v)
+    frames_ph, lead, T = ct_phase_frames(x, cfg)
+    B = frames_ph.shape[0]
 
     b1, tw_re, tw_im, b3 = (jnp.asarray(a) for a in _ct_bases_np(n_fft))
     a = jnp.einsum(

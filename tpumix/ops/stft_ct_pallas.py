@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpumix.config import FrontendConfig
-from tpumix.ops.stft import _CT_N1, ct_applicable
+from tpumix.ops.stft import _CT_N1, ct_applicable, ct_phase_frames
 
 _LOG10_INV = 1.0 / math.log(10.0)
 
@@ -155,28 +155,16 @@ def stft_features_ct_pallas_tm(
     cfg = cfg or FrontendConfig()
     if not ct_applicable(cfg):
         raise ValueError("ct_pallas frontend requires ct_applicable(cfg)")
-    n_fft, hop = cfg.n_fft, cfg.hop_length
+    n_fft = cfg.n_fft
     n1v = _CT_N1
     n2v = n_fft // n1v
     k1u = n1v // 2 + 1
-    hop_ph = hop // n1v
-    r = n_fft // hop
     bins = cfg.num_bins
 
-    lead = x.shape[:-1]
-    S = x.shape[-1]
-    T = 1 + S // hop
-    B = int(np.prod(lead)) if lead else 1
-    xb = x.reshape(B, S).astype(jnp.float32)
-    pad = n_fft // 2
-    xp = jnp.pad(xb, ((0, 0), (pad, pad)), mode=cfg.pad_mode)[:, : (T + r - 1) * hop]
-    # phase decimation + framing (XLA, copy-bandwidth): frame t of phase p is
-    # phase rows t..t+r-1 of hop_ph samples -> [B, N1, T, N2]
-    xph = xp.reshape(B, (T + r - 1) * hop // n1v, n1v).transpose(0, 2, 1)
-    rows = xph.reshape(B, n1v, T + r - 1, hop_ph)
-    frames_ph = jnp.concatenate(
-        [rows[:, :, j : j + T] for j in range(r)], axis=-1
-    )  # [B, N1, T, N2]
+    # phase decimation + framing (XLA, copy-bandwidth) shared with the XLA
+    # "ct" path — both must frame identically
+    frames_ph, lead, T = ct_phase_frames(x, cfg)
+    B = frames_ph.shape[0]
 
     b1_np, twre_np, twim_np, c3_np, s3_np = _ct_kernel_bases_np(n_fft)
     b1 = jnp.asarray(b1_np)
@@ -219,22 +207,8 @@ def stft_features_ct_pallas_tm(
     return out[:, :, :bins].reshape(*lead, T, bins)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def stft_features_ct_tm_hybrid(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """Fused CT kernel forward, XLA-derived backward (same pattern as
-    stft_pallas.stft_features_tm_hybrid): drop-in differentiable frontend."""
-    return stft_features_ct_pallas_tm(x, cfg)
+from tpumix.ops.stft_pallas import make_tm_hybrid
 
-
-def _ct_hybrid_fwd(x, cfg):
-    return stft_features_ct_pallas_tm(x, cfg), x
-
-
-def _ct_hybrid_bwd(cfg, x, g):
-    from tpumix.ops.stft_pallas import _tm_jnp
-
-    _, vjp = jax.vjp(lambda xx: _tm_jnp(xx, cfg), x)
-    return (vjp(g)[0],)
-
-
-stft_features_ct_tm_hybrid.defvjp(_ct_hybrid_fwd, _ct_hybrid_bwd)
+#: Fused CT kernel forward, XLA-derived backward: drop-in differentiable
+#: frontend (shared factory — see stft_pallas.make_tm_hybrid).
+stft_features_ct_tm_hybrid = make_tm_hybrid(stft_features_ct_pallas_tm)

@@ -248,22 +248,8 @@ def stft_features_dif_pallas_tm(
     return deint[:, :, :bins].reshape(*lead, T, bins)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def stft_features_dif_tm_hybrid(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """Fused DIF kernel forward, XLA-derived backward (same pattern as
-    stft_pallas.stft_features_tm_hybrid): drop-in differentiable frontend."""
-    return stft_features_dif_pallas_tm(x, cfg)
+from tpumix.ops.stft_pallas import make_tm_hybrid
 
-
-def _dif_hybrid_fwd(x, cfg):
-    return stft_features_dif_pallas_tm(x, cfg), x
-
-
-def _dif_hybrid_bwd(cfg, x, g):
-    from tpumix.ops.stft_pallas import _tm_jnp
-
-    _, vjp = jax.vjp(lambda xx: _tm_jnp(xx, cfg), x)
-    return (vjp(g)[0],)
-
-
-stft_features_dif_tm_hybrid.defvjp(_dif_hybrid_fwd, _dif_hybrid_bwd)
+#: Fused DIF kernel forward, XLA-derived backward: drop-in differentiable
+#: frontend (shared factory — see stft_pallas.make_tm_hybrid).
+stft_features_dif_tm_hybrid = make_tm_hybrid(stft_features_dif_pallas_tm)

@@ -203,23 +203,31 @@ def _tm_jnp(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
     return amplitude_to_db(mag, amin=cfg.amin, multiplier=cfg.db_multiplier)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def stft_features_tm_hybrid(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """Pallas forward, XLA-derived backward: drop-in differentiable frontend
-    in time-major layout."""
-    return stft_features_pallas_tm(x, cfg)
+def make_tm_hybrid(forward):
+    """Wrap a time-major Pallas frontend ``forward(x, cfg)`` in a
+    ``jax.custom_vjp``: kernel forward, XLA-derived backward through the
+    ``_tm_jnp`` mirror.  All three fused frontends (naive-basis, DIT/"ct",
+    DIF) share this exact pattern — a fix to the backward routing applies
+    to every kernel through this one factory."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def hybrid(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
+        return forward(x, cfg)
+
+    def fwd(x, cfg):
+        return forward(x, cfg), x
+
+    def bwd(cfg, x, g):
+        _, vjp = jax.vjp(lambda xx: _tm_jnp(xx, cfg), x)
+        return (vjp(g)[0],)
+
+    hybrid.defvjp(fwd, bwd)
+    return hybrid
 
 
-def _hybrid_fwd(x, cfg):
-    return stft_features_pallas_tm(x, cfg), x
-
-
-def _hybrid_bwd(cfg, x, g):
-    _, vjp = jax.vjp(lambda xx: _tm_jnp(xx, cfg), x)
-    return (vjp(g)[0],)
-
-
-stft_features_tm_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+#: Pallas forward, XLA-derived backward: drop-in differentiable frontend in
+#: time-major layout.
+stft_features_tm_hybrid = make_tm_hybrid(stft_features_pallas_tm)
 
 
 def stft_magnitude_pallas(x: jax.Array, cfg: FrontendConfig) -> jax.Array:

@@ -233,12 +233,20 @@ def _lstsq_gain_targets(stems: jax.Array, mix: jax.Array) -> jax.Array:
     gram = jnp.einsum("bst,but->bsu", stems, stems)  # [B, S, S]
     rhs = jnp.einsum("bst,bt->bs", stems, mix)  # [B, S]
     # Tikhonov jitter scaled to the Gram diagonal keeps near-silent or
-    # collinear stems solvable
+    # collinear stems solvable.  The relative term vanishes when ALL stems in
+    # an item are silent (gram == 0, e.g. a song intro/outro window on a real
+    # corpus), which would make the solve singular and poison the batch loss
+    # with NaN — the absolute floor keeps the system nonsingular there, and
+    # the finite-guard below catches any residual pathology.
     S = stems.shape[1]
-    jitter = 1e-6 * jnp.mean(
-        jnp.diagonal(gram, axis1=1, axis2=2), axis=1, keepdims=True
-    )[..., None] * jnp.eye(S)
+    jitter = (
+        1e-6 * jnp.mean(
+            jnp.diagonal(gram, axis1=1, axis2=2), axis=1, keepdims=True
+        )[..., None]
+        + 1e-12
+    ) * jnp.eye(S)
     amp = jnp.linalg.solve(gram + jitter, rhs[..., None])[..., 0]
+    amp = jnp.where(jnp.isfinite(amp), amp, 1e-3)
     # negative / tiny solutions (degenerate correlation) clamp to a quiet
     # floor before the log map
     amp = jnp.maximum(amp, 1e-3)

@@ -98,10 +98,15 @@ class Trainer:
                 model, frontend, self.tx, augment=config.augment, loss=config.loss
             )
             eval_step = make_eval_step(model, frontend, loss=config.loss)
+        if mesh is not None:
+            # replicate the state over the mesh even on the loss == "gain"
+            # branch: SyntheticTrainer's fused step compiles against whatever
+            # sharding the params carry, and single-device-committed params
+            # under a dp-sharded batch degrade GSPMD to per-step broadcasts
+            self.state = jax.device_put(self.state, replicated(mesh))
         if train_step is None:
             self._train_step = self._eval_step = None
         elif mesh is not None:
-            self.state = jax.device_put(self.state, replicated(mesh))
             self._train_step = data_parallel_jit(train_step, mesh)
 
             # the val pass gets the same mesh treatment as the train step —
