@@ -227,3 +227,74 @@ def test_oversized_request_chunk_rejected(server):
             assert total < 1 << 20  # only headers/error, never a huge buffer
     finally:
         s.close()
+
+
+def test_cmd_serve_accepts_healthz_during_warmup(monkeypatch):
+    """`tpumix serve` must start the accept loop BEFORE warming: a cold
+    remote compile takes minutes, and a readiness probe hitting a socket
+    that is not accepting yet kill-loops the process (round-3 review fix,
+    tpumix/cli.py cmd_serve).  /healthz must answer with warm:false for the
+    whole warm-up window, then flip to warm:true."""
+    import time
+    from argparse import Namespace
+
+    import tpumix.cli as cli
+    import tpumix.serve as serve_mod
+
+    warm_entered = threading.Event()
+    warm_release = threading.Event()
+
+    def slow_warm(self, stream=True):  # stands in for the minutes-long compile
+        warm_entered.set()
+        assert warm_release.wait(timeout=60), "test never released warm()"
+        self.warmed = True
+
+    monkeypatch.setattr(serve_mod.MixingService, "warm", slow_warm)
+    # /healthz touches only service state + model_name — a bare stub mixer
+    # keeps the test free of device compiles
+    monkeypatch.setattr(cli, "_load_mixer", lambda args: object())
+
+    captured = {}
+    real_serve = serve_mod.serve
+
+    def capturing_serve(*a, **kw):
+        httpd = real_serve(*a, **kw)
+        captured["httpd"] = httpd
+        return httpd
+
+    monkeypatch.setattr(serve_mod, "serve", capturing_serve)
+
+    args = Namespace(host="127.0.0.1", port=0, model="scalar1s", no_warmup=False)
+    t = threading.Thread(target=cli.cmd_serve, args=(args,), daemon=True)
+    t.start()
+    try:
+        assert warm_entered.wait(timeout=30)
+
+        def healthz():
+            host, port = captured["httpd"].server_address
+            conn = http.client.HTTPConnection(host, port, timeout=10)
+            try:
+                conn.request("GET", "/healthz")
+                r = conn.getresponse()
+                assert r.status == 200
+                return json.loads(r.read())
+            finally:
+                conn.close()
+
+        # mid-warm-up: the socket accepts and reports not-yet-warm
+        assert healthz()["warm"] is False
+        warm_release.set()
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if healthz()["warm"]:
+                break
+            time.sleep(0.1)
+        else:
+            pytest.fail("server never reported warm after warm() returned")
+    finally:
+        warm_release.set()
+        httpd = captured.get("httpd")
+        if httpd is not None:
+            httpd.shutdown()
+        t.join(timeout=30)
+    assert not t.is_alive()
