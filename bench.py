@@ -280,7 +280,10 @@ def _emit(state: dict) -> dict:
         "value": state.get("value", 0.0),
         "unit": "audio_s/s",
     }
-    if cpu:
+    # derive the ratio only from a MEASURED value: a watchdog emit before any
+    # e2e rep completed must not claim a measured 0x baseline ratio (the
+    # `stalled` flag plus the missing vs_baseline says "unmeasured", not "0")
+    if cpu and "value" in state:
         result["vs_baseline"] = round(result["value"] / cpu, 2)
     if "device_resident" in state:
         result["device_resident"] = state["device_resident"]

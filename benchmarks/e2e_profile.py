@@ -34,10 +34,11 @@ t_mono = time.perf_counter() - tic
 # phase 2: int16 pack of both segments (same math as mixer.pack)
 C = mixer.chunk_samples
 seg = 64
+n_gains = mono.shape[1] // C - 1  # 119 for the 240 s song (reference indexing)
 tic = time.perf_counter()
 packs = []
-for lo in (0, 64):
-    n = min(seg, 118 - lo)
+for lo in range(0, n_gains, seg):
+    n = min(seg, n_gains - lo)
     src = mono[:, lo * C : (lo + n) * C]
     flat = np.empty((4, seg * C), np.int16)
     if n < seg:

@@ -287,9 +287,15 @@ def make_handler(service: MixingService, model_name: str):
 def serve(mixer, host: str = "127.0.0.1", port: int = 8080,
           model_name: str = "scalar2s", warmup: bool = False) -> ThreadingHTTPServer:
     """Build the server (call ``serve_forever()`` on the result, or use it
-    with ``with`` + a thread in tests).  ``warmup`` compiles the device
-    programs before returning (see :meth:`MixingService.warm`); the CLI
-    turns it on by default, tests leave it off."""
+    with ``with`` + a thread in tests).
+
+    ``warmup=True`` compiles the device programs before returning (see
+    :meth:`MixingService.warm`) — convenient for tests, but the socket is
+    not accepting yet, so readiness probes hang for the whole compile.  A
+    serving process should instead start ``serve_forever()`` on a thread
+    FIRST and then call ``httpd.service.warm()``, so ``/healthz`` answers
+    (``warm: false``) throughout — that is what ``tpumix serve`` does
+    (tpumix/cli.py cmd_serve)."""
     service = MixingService(mixer)
     httpd = ThreadingHTTPServer((host, port), make_handler(service, model_name))
     httpd.service = service  # expose for warm-up, tests, introspection

@@ -253,6 +253,26 @@ def _lstsq_gain_targets(stems: jax.Array, mix: jax.Array) -> jax.Array:
     return 2.0 * jnp.log10(amp)
 
 
+def _coherent_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Array:
+    """Waveform-domain self-supervision: predicted gains through the
+    reference inference map scale the stem WAVEFORMS; the coherent sum must
+    reproduce the mix.  Identifiable where the magnitude objectives are not
+    (see SELF_SUPERVISED_LOSSES); normalised by mix power so the scale
+    matches the spectrogram losses' O(1..100) regime.  ONE definition shared
+    by train and eval steps so early stopping judges exactly the objective
+    training optimised."""
+    amp = 10.0 ** (0.5 * gains)  # [B, S]
+    mix_pred = jnp.einsum("bst,bs->bt", stems, amp)
+    return jnp.mean(jnp.square(mix_pred - mix)) / (jnp.mean(jnp.square(mix)) + 1e-8)
+
+
+def _lstsq_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Array:
+    """MSE against the closed-form per-item gain targets (shared by train
+    and eval; stop_gradient makes the targets data, a no-op under eval)."""
+    g_star = jax.lax.stop_gradient(_lstsq_gain_targets(stems, mix))
+    return jnp.mean(jnp.square(gains - g_star))
+
+
 def _check_loss(loss: str) -> None:
     if loss not in SELF_SUPERVISED_LOSSES:
         hint = (
@@ -328,9 +348,11 @@ def make_train_step(
                 mix = augment_audio(mix, aug_m)
 
         feats = _features(stems)  # [B, 4, F, T]
-        gt = _features(mix)  # [B, F, T]
         feats = _constrain(feats, (dp_axis, None, None, sp_axis))
-        gt = _constrain(gt, (dp_axis, None, sp_axis))
+        if loss in ("coherent", "lstsq"):
+            gt = None  # waveform-domain objectives never consume the mix
+        else:  # spectrogram of the mix
+            gt = _constrain(_features(mix), (dp_axis, None, sp_axis))
 
         def loss_fn(params):
             (masked, gains), mutated = model.apply(
@@ -341,22 +363,9 @@ def make_train_step(
                 rngs={"dropout": drop_rng},
             )
             if loss == "coherent":
-                # waveform-domain self-supervision: predicted gains through
-                # the reference inference map scale the stem WAVEFORMS; the
-                # coherent sum must reproduce the mix.  Identifiable where
-                # the magnitude objectives are not (see SELF_SUPERVISED_
-                # LOSSES); normalised by mix power so the scale matches the
-                # spectrogram losses' O(1..100) regime
-                amp = 10.0 ** (0.5 * gains)  # [B, S]
-                mix_pred = jnp.einsum("bst,bs->bt", stems, amp)
-                value = jnp.mean(jnp.square(mix_pred - mix)) / (
-                    jnp.mean(jnp.square(mix)) + 1e-8
-                )
-                return value, (mutated["batch_stats"], gains)
+                return _coherent_loss(stems, mix, gains), (mutated["batch_stats"], gains)
             if loss == "lstsq":
-                g_star = jax.lax.stop_gradient(_lstsq_gain_targets(stems, mix))
-                value = jnp.mean(jnp.square(gains - g_star))
-                return value, (mutated["batch_stats"], gains)
+                return _lstsq_loss(stems, mix, gains), (mutated["batch_stats"], gains)
             if loss == "roundtrip":
                 masked = _roundtrip_masked_db(feats, gains, frontend.amin)
             value = jnp.mean(jnp.square(masked - gt))
@@ -396,14 +405,9 @@ def make_eval_step(model, frontend: FrontendConfig, loss: str = "reference") -> 
             {"params": state.params, "batch_stats": state.batch_stats}, feats, train=False
         )
         if loss == "coherent":
-            amp = 10.0 ** (0.5 * gains)
-            mix_pred = jnp.einsum("bst,bs->bt", stems, amp)
-            return jnp.mean(jnp.square(mix_pred - mix)) / (
-                jnp.mean(jnp.square(mix)) + 1e-8
-            )
+            return _coherent_loss(stems, mix, gains)
         if loss == "lstsq":
-            g_star = _lstsq_gain_targets(stems, mix)
-            return jnp.mean(jnp.square(gains - g_star))
+            return _lstsq_loss(stems, mix, gains)
         gt = _features(mix)
         if loss == "roundtrip":
             masked = _roundtrip_masked_db(feats, gains, frontend.amin)

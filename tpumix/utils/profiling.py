@@ -121,10 +121,11 @@ def measure_throughput(
 
     for w in range(warmup):
         force(fn(*_args_for(-1 - w)))
-    # double-buffered variants: rep N+1's perturbed inputs are prepared while
-    # rep N is timed, so at most TWO copies of the (possibly large,
-    # device-resident) arguments are alive at once — materialising all reps
-    # up-front held reps x the HBM footprint (round-2 advisor finding)
+    # rep N+1's perturbed inputs are prepared OUTSIDE rep N's timed window
+    # (strictly after it — preparation is not overlapped with timing), so at
+    # most TWO copies of the (possibly large, device-resident) arguments are
+    # alive at once — materialising all reps up-front held reps x the HBM
+    # footprint (round-2 advisor finding)
     best = float("inf")
     current = _materialise(_args_for(1))
     for rep in range(reps):
