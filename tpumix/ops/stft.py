@@ -296,7 +296,14 @@ def _stft_mag_matmul(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
 
 
 def stft_magnitude(x: jax.Array, cfg: Optional[FrontendConfig] = None) -> jax.Array:
-    """Magnitude spectrogram ``[..., frames, bins]`` (time-major internal layout)."""
+    """Magnitude spectrogram ``[..., frames, bins]`` (time-major internal layout).
+
+    Note: the fused Pallas implementations compute dB directly, so this
+    adapter recovers magnitude as ``10**(dB/mult)`` — bins quieter than
+    ``cfg.amin`` return exactly ``amin`` (the dB contract's clamp) instead of
+    their true sub-amin value.  Identical after :func:`amplitude_to_db`,
+    which is the only consumer on the hot path; use ``implementation="fft"``
+    if unclamped linear magnitudes matter."""
     cfg = cfg or FrontendConfig()
     impl = cfg.resolved_implementation()
     if impl == "matmul":
