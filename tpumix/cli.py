@@ -412,8 +412,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["scalar1s", "scalar1sL", "scalar2s", "scalar2sL", "resnet18"])
         sp.add_argument("--compute-dtype", default="float32",
                         choices=["float32", "bfloat16"],
-                        help="conv compute dtype (bfloat16: ~1.4x faster, "
-                             "~0.01 dB gain deviation)")
+                        help="conv compute dtype; bfloat16 buys ~1.13x on "
+                             "TRAINING steps but nothing on inference at the "
+                             "khgemm roofline (docs/PERF.md), and carries "
+                             "~0.01 dB gain deviation at inference")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--transfer-dtype", default="float32", choices=["float32", "int16", "int12", "mulaw8"])
         if checkpoint:
@@ -443,7 +445,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--model", default="scalar2sL",
                     choices=["scalar1s", "scalar1sL", "scalar2s", "scalar2sL", "resnet18"])
     sp.add_argument("--compute-dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 trains ~1.13x faster at identical quality "
+                         "(0.15 vs 0.14 LU on the flagship recipe; "
+                         "docs/PERF.md) — params/opt/BN stats stay f32")
     sp.add_argument("--bn-momentum", type=float, default=0.99,
                     help="flax BN retained fraction (0.10 = reference torch "
                          "parity; 0.99 default here for stable eval-mode "

@@ -1,9 +1,13 @@
 """Model registry: preset name -> constructed Flax module.
 
-``compute_dtype="bfloat16"`` runs the conv trunk in bf16 on the MXU (~4x the
-f32 arithmetic rate on v5e).  Gains deviate from the f32 path by the bf16
-mantissa floor (~0.4 absolute on +/-100 dB feature values entering conv 1) —
-acceptable for throughput-first mixing, NOT for reference-conformance runs
+``compute_dtype="bfloat16"`` runs the conv trunk in bf16 on the MXU.  Where
+it pays (measured, docs/PERF.md): TRAINING — the lax.conv fwd+bwd step is
+~1.13x faster at identical converged quality (0.15 vs 0.14 LU on the
+flagship lstsq recipe; params/opt/BN stats stay f32, so checkpoints
+interchange).  Where it does NOT: inference — khgemm's f32 path already
+sits at the dot roofline (1199 bf16 vs 1202 f32 audio-s/s resident), and
+gains deviate by the bf16 mantissa floor (~0.4 absolute on +/-100 dB
+feature values entering conv 1) — keep f32 for reference-conformance runs
 (the heads always accumulate and emit float32 either way).
 """
 
