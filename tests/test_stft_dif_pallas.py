@@ -63,6 +63,28 @@ def test_rejects_inapplicable_config():
     assert not dif_applicable(FrontendConfig(hop_length=496))
 
 
+def test_radix2_stage_a_matches_direct_and_oracle(audio):
+    """stage_a="r2" (recursive real-input FFT16 in stage A) must agree with
+    the unrolled direct DFT to f32 reassociation AND with the FFT oracle to
+    the standard frontend bound — both stage-A formulations are the same
+    windowed DFT."""
+    cfg = FrontendConfig(hop_length=512)
+    ref = np.asarray(
+        spectrogram_features_tm(
+            jnp.asarray(audio), FrontendConfig(hop_length=512, implementation="fft")
+        )
+    )
+    direct = np.asarray(
+        stft_features_dif_pallas_tm(jnp.asarray(audio), cfg, stage_a="direct")
+    )
+    r2 = np.asarray(stft_features_dif_pallas_tm(jnp.asarray(audio), cfg, stage_a="r2"))
+    d = np.abs(r2 - ref)
+    assert d.max() < 0.1 and d.mean() < 1e-4
+    d = np.abs(r2 - direct)
+    assert d.mean() < 1e-4
+    assert np.quantile(d, 0.999) < 5e-3
+
+
 def test_agrees_with_ct_pallas_kernel(audio):
     """DIT and DIF factorizations of the same windowed DFT must agree to f32
     reassociation."""

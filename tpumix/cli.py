@@ -119,7 +119,8 @@ def cmd_train(args) -> int:
 
     import dataclasses as _dc
 
-    model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype)
+    model_cfg = _dc.replace(preset(args.model), compute_dtype=args.compute_dtype,
+                            bn_momentum=args.bn_momentum)
     songs = _songlist(args) or None
     if songs is None:
         # no songlist -> discover songs exactly as the dataset would, so the
@@ -438,6 +439,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq"],
                     help="reference = dB-linear masked-sum MSE (parity); "
                          "roundtrip = gains supervised through the inference map")
+    sp.add_argument("--bn-momentum", type=float, default=0.10,
+                    help="flax BN retained fraction; 0.10 (default) = the "
+                         "reference's torch momentum 0.90 — running stats "
+                         "track the LAST batch, which makes eval-mode val "
+                         "loss (and early stopping) noisy on small corpora; "
+                         "raise towards 0.99 for stable statistics")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train)
 

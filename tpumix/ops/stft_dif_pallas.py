@@ -25,9 +25,11 @@ so the INPUT side needs only contiguous 128-lane blocks of each frame:
   phase transpose, NO frame tensor in HBM: operand prep is pad + free
   reshape (~90 MB vs DIT's ~450 MB of prebuild traffic).
 * stage A is the DIT kernel's output-side 16-point DFT moved to the input
-  side (same statically unrolled scalar-weighted accumulations, zero/+-1
-  terms elided, conjugate symmetry halves it: real input => y_{16-k1} =
-  conj(y_k1)).
+  side.  Two formulations: ``stage_a="direct"`` (statically unrolled
+  scalar-weighted accumulations, zero/+-1 terms elided, conjugate symmetry
+  halves it: real input => y_{16-k1} = conj(y_k1)) and ``stage_a="r2"``
+  (default: recursive real-input radix-2 FFT16, ~3x fewer tile ops —
+  measured a marginal ~0.5 ms win, docs/PERF.md round-3 close-out).
 * stage C regains the full 128-deep MXU contraction per k1 (4 dots
   ``[T,128] @ [128,128]``; only k2 < 65 columns are non-zero — onesided).
 * the epilogue uses ``(mult/2) * log10(max(mag^2, amin^2))`` — identical to
@@ -113,6 +115,83 @@ def _acc(acc, term):
     return term if acc is None else acc + term
 
 
+# ---- radix-2 stage A ---------------------------------------------------------
+#
+# The direct 16-point DFT above stage C costs ~220 scaled tile accumulations
+# (16 blocks x 9 outputs x re/im, zero/+-1 elided).  A recursive real-input
+# radix-2 factorization (FFT16 = 2xFFT8 = 4xFFT4 with conjugate-symmetry and
+# product reuse at every level) computes the same 9 onesided outputs in ~76
+# tile ops — the classic FLOP argument, applied at [T,128]-tile granularity
+# where every saved op is a full VPU pass.  Values are (re, im) pairs with
+# ``im=None`` encoding an exact zero (real value), so elision survives the
+# recursion.  Convention matches the direct path: y_k = sum_n b_n e^{-2pi i
+# n k / 16} (forward DFT).
+
+_SQRT1_2 = math.sqrt(0.5)
+
+
+def _cneg(a):
+    return None if a is None else -a
+
+
+def _cadd(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _fft4_real(a0, a1, a2, a3):
+    """4-point forward DFT of real tiles -> X[0..2]; X3 = conj(X1) implied."""
+    t0, t1 = a0 + a2, a0 - a2
+    t2, t3 = a1 + a3, a1 - a3
+    return (t0 + t2, None), (t1, -t3), (t0 - t2, None)
+
+
+def _fft8_real(a):
+    """8-point forward DFT of 8 real tiles -> X[0..4]; X[8-k] = conj(X[k])."""
+    E0, E1, E2 = _fft4_real(a[0], a[2], a[4], a[6])
+    O0, O1, O2 = _fft4_real(a[1], a[3], a[5], a[7])
+    c = _SQRT1_2
+    o1re, o1im = O1
+    # P1 = W8^1 * O1 with W8^1 = c - ic
+    p1re = c * (o1re + o1im)
+    p1im = c * (o1im - o1re)
+    X0 = (E0[0] + O0[0], None)
+    X1 = (E1[0] + p1re, _cadd(E1[1], p1im))
+    X2 = (E2[0], _cneg(O2[0]))  # W8^2 = -i, O2 real
+    # X3 = conj(E1) + W8^3*O3 where O3 = conj(O1) and W8^3*conj(O1) = -conj(P1)
+    X3 = (E1[0] - p1re, _cadd(_cneg(E1[1]), p1im))
+    X4 = (E0[0] - O0[0], None)
+    return X0, X1, X2, X3, X4
+
+
+def _fft16_real(b):
+    """16-point forward DFT of 16 real tiles -> onesided X[0..8] as (re, im)
+    pairs (im None = exact zero).  Requires len(b) == 16."""
+    E = _fft8_real(b[0::2])
+    O = _fft8_real(b[1::2])
+    X = [None] * 9
+    X[0] = (E[0][0] + O[0][0], None)
+    X[8] = (E[0][0] - O[0][0], None)
+    X[4] = (E[4][0], _cneg(O[4][0]))  # W16^4 = -i, E4/O4 real
+    for k in (1, 2, 3):
+        ck = math.cos(math.pi * k / 8.0)
+        sk = math.sin(math.pi * k / 8.0)
+        ore, oim = O[k]
+        if k == 2:  # W16^2 = c - ic: two mults via the shared-factor form
+            pre = ck * (ore + oim)
+            pim = ck * (oim - ore)
+        else:  # full complex twiddle (ck - i sk)
+            pre = ck * ore + sk * oim
+            pim = ck * oim - sk * ore
+        X[k] = (E[k][0] + pre, _cadd(E[k][1], pim))
+        # X[8-k] = conj(E[k]) + W16^(8-k)*conj(O[k]) = conj(E[k]) - conj(P[k])
+        X[8 - k] = (E[k][0] - pre, _cadd(_cneg(E[k][1]), pim))
+    return X
+
+
 def _scaled(a, c: float):
     """``a * c`` with 0 / +-1 elided to None / a / -a."""
     eps = 1e-12
@@ -127,7 +206,7 @@ def _scaled(a, c: float):
 
 def _dif_kernel(x_ref, w_ref, ctw_ref, stw_ref, c128_ref, s128_ref, o_ref, *,
                 T: int, hop: int, n1v: int, c16: tuple, s16: tuple,
-                amin: float, multiplier: float):
+                amin: float, multiplier: float, stage_a: str = "direct"):
     """One batch-item grid step.
 
     x_ref: [1, T+R-1, hop] signal rows; o_ref: [1, T, n1v*128] dB features,
@@ -136,18 +215,25 @@ def _dif_kernel(x_ref, w_ref, ctw_ref, stw_ref, c128_ref, s128_ref, o_ref, *,
     rows = x_ref[0]
     k1u = n1v // 2 + 1
     # stage A — windowed 16-point DFT over the frame-contiguous blocks
-    yre = [None] * k1u
-    yim = [None] * k1u
+    blocks = []
     for n1 in range(n1v):
         j, c0 = (_N2 * n1) // hop, (_N2 * n1) % hop
-        blk = rows[j : j + T, c0 : c0 + _N2] * w_ref[n1 : n1 + 1, :]  # [T,128]
-        for k1 in range(k1u):
-            t = _scaled(blk, c16[n1][k1])
-            if t is not None:
-                yre[k1] = _acc(yre[k1], t)
-            t = _scaled(blk, -s16[n1][k1])
-            if t is not None:
-                yim[k1] = _acc(yim[k1], t)
+        blocks.append(rows[j : j + T, c0 : c0 + _N2] * w_ref[n1 : n1 + 1, :])
+    if stage_a == "r2" and n1v == 16:
+        ys = _fft16_real(blocks)  # [T,128] tiles, ~3x fewer VPU passes
+        yre = [re for re, _ in ys]
+        yim = [im for _, im in ys]
+    else:  # direct DFT (any even n1v; zero/+-1 weights elided)
+        yre = [None] * k1u
+        yim = [None] * k1u
+        for n1, blk in enumerate(blocks):
+            for k1 in range(k1u):
+                t = _scaled(blk, c16[n1][k1])
+                if t is not None:
+                    yre[k1] = _acc(yre[k1], t)
+                t = _scaled(blk, -s16[n1][k1])
+                if t is not None:
+                    yim[k1] = _acc(yim[k1], t)
     zero = jnp.zeros((T, _N2), jnp.float32)
     yre = [zero if a is None else a for a in yre]
     yim = [zero if a is None else a for a in yim]
@@ -179,14 +265,25 @@ def _dif_kernel(x_ref, w_ref, ctw_ref, stw_ref, c128_ref, s128_ref, o_ref, *,
 
 
 def stft_features_dif_pallas_tm(
-    x: jax.Array, cfg: Optional[FrontendConfig] = None
+    x: jax.Array, cfg: Optional[FrontendConfig] = None,
+    stage_a: Optional[str] = None,
 ) -> jax.Array:
     """Fused DIF-factorized frontend, time-major output ``[..., T, bins]``.
 
     Same contract as ``stft_features_pallas_tm`` (requires
-    ``dif_applicable(cfg)``).
+    ``dif_applicable(cfg)``).  ``stage_a``: ``"direct"`` (unrolled 16-point
+    DFT) or ``"r2"`` (recursive radix-2 real-input FFT, ~3x fewer VPU tile
+    ops at n1v == 16); default from ``TPUMIX_DIF_STAGEA``.
     """
+    import os
+
     cfg = cfg or FrontendConfig()
+    if stage_a is None:
+        # r2 measured 92.6 vs direct's 93.2 ms on the scalar2s segment
+        # (benchmarks/frontend_stagea_bench.py) — a ~0.7% edge inside link
+        # weather noise, but never slower, so it is the default; the stage-A
+        # tile-op count was ~0.5 ms of the kernel all along (docs/PERF.md)
+        stage_a = os.environ.get("TPUMIX_DIF_STAGEA", "r2")
     if not dif_applicable(cfg):
         raise ValueError("dif_pallas frontend requires dif_applicable(cfg)")
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -211,7 +308,7 @@ def stft_features_dif_pallas_tm(
 
     kernel = functools.partial(
         _dif_kernel, T=T, hop=hop, n1v=n1v, c16=c16, s16=s16,
-        amin=cfg.amin, multiplier=cfg.db_multiplier,
+        amin=cfg.amin, multiplier=cfg.db_multiplier, stage_a=stage_a,
     )
 
     from tpumix.utils.backend import is_tpu_backend
