@@ -159,12 +159,18 @@ def cmd_train(args) -> int:
         val_songs = train_songs
     d_val = make_ds(val_songs, False)
 
+    # cosine needs the total step count up front; the loader's epoch length
+    # is deterministic (drop_last static batches over the train chunk count)
+    steps_per_epoch = max(1, len(d_train) // args.batch_size)
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=False,
         early_stopping_patience=args.patience,
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
         transfer_dtype=args.transfer_dtype,
+        lr_schedule=args.lr_schedule,
+        lr_total_steps=(args.epochs * steps_per_epoch
+                        if args.lr_schedule == "cosine" else None),
     )
     mesh = None
     if args.mesh:
@@ -445,6 +451,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "track the LAST batch, which makes eval-mode val "
                          "loss (and early stopping) noisy on small corpora; "
                          "raise towards 0.99 for stable statistics")
+    sp.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="constant = reference parity (training.ipynb cell "
+                         "11); cosine decays lr -> 0.01x over epochs x "
+                         "steps-per-epoch (train-synth's default recipe)")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train)
 
