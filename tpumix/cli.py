@@ -186,7 +186,8 @@ def cmd_train(args) -> int:
     )
     train_loader = BatchIterator(d_train, args.batch_size, seed=args.seed)
     val_loader = BatchIterator(d_val, args.batch_size, shuffle=False, seed=args.seed)
-    result = trainer.fit(train_loader, val_loader, 0, args.epochs)
+    start = trainer.resume() if args.resume else 0
+    result = trainer.fit(train_loader, val_loader, start, args.epochs)
     print(json.dumps({
         "best_epoch": result.best_epoch, "best_val_loss": result.best_val_loss,
         "stopped_early": result.stopped_early, "checkpoint_dir": trainer.ckpt_dir,
@@ -456,6 +457,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="constant = reference parity (training.ipynb cell "
                          "11); cosine decays lr -> 0.01x over epochs x "
                          "steps-per-epoch (train-synth's default recipe)")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in the run dir "
+                         "(requires --run-name; same escape hatch train-synth "
+                         "has — a relay stall or preemption should not cost "
+                         "the run)")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train)
 
