@@ -1,0 +1,170 @@
+"""Non-ideal mix-bus perturbations (tpumix/data/synthetic.py::mix_bus).
+
+The clean synthetic family builds the engineer's mix as an exact gain-weighted
+stem sum — the assumption that makes the closed-form lstsq targets exact.
+Real human mixes (the reference's actual supervision,
+reference model_trainer.py:25-44) carry bus processing; these tests pin the
+perturbation machinery the round-4 degradation study is built on.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpumix.data.synthetic import (
+    BUS_KINDS,
+    make_synth_song,
+    mix_bus,
+    synth_chunk_batch,
+    write_synth_dataset,
+)
+from tpumix.train.state import _lstsq_gain_targets
+
+SR = 8000
+
+
+class TestMixBus:
+    def _signal(self, shape=(2, 4000), seed=0):
+        rng = np.random.default_rng(seed)
+        x = 0.5 * np.sin(2 * np.pi * 220 * np.arange(shape[-1]) / SR)
+        return (x + 0.05 * rng.standard_normal(shape)).astype(np.float32)
+
+    @pytest.mark.parametrize("kind", BUS_KINDS)
+    def test_numpy_and_jnp_agree(self, kind):
+        x = self._signal()
+        y_np = mix_bus(x, SR, kind)
+        y_j = np.asarray(mix_bus(jnp.asarray(x), SR, kind))
+        assert isinstance(y_np, np.ndarray)
+        np.testing.assert_allclose(y_np, y_j, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("kind", BUS_KINDS)
+    def test_each_stage_perturbs(self, kind):
+        x = self._signal()
+        y = mix_bus(x, SR, kind)
+        assert y.shape == x.shape
+        # a mastering stage must actually do something at these levels
+        assert float(np.max(np.abs(y - x))) > 1e-3
+
+    def test_unknown_kind_rejected(self):
+        with pytest.raises(ValueError, match="unknown mix_bus kind"):
+            mix_bus(self._signal(), SR, "chorus")
+
+    def test_jittable(self):
+        x = jnp.asarray(self._signal())
+        y = jax.jit(lambda a: mix_bus(a, SR, "full"))(x)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+
+class TestGeneratorBus:
+    def test_stems_and_labels_stay_clean(self):
+        """The bus perturbs only the reference mix: stems and gain labels are
+        bit-identical to the clean generator under the same rng."""
+        rng = jax.random.key(0)
+        s0, m0, g0 = synth_chunk_batch(rng, 3, 4096, SR, return_gains=True)
+        s1, m1, g1 = synth_chunk_batch(
+            rng, 3, 4096, SR, return_gains=True, mix_bus_kind="full"
+        )
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+        assert float(jnp.max(jnp.abs(m0 - m1))) > 1e-3
+
+    def test_lstsq_targets_exact_on_clean_biased_under_bus(self):
+        """The degradation mechanism itself: on the clean family the
+        closed-form lstsq gains recover the generator's labels; under a full
+        mix bus they deviate (the supervision the model would be trained on
+        is biased)."""
+        rng = jax.random.key(1)
+        stems, mix, g_true = synth_chunk_batch(rng, 4, 4096, SR, return_gains=True)
+        g_clean = _lstsq_gain_targets(stems, mix)
+        clean_err = float(jnp.max(jnp.abs(g_clean - g_true)))
+        assert clean_err < 0.02  # scalar domain: 0.02 -> 0.2 dB
+
+        _, mix_bused, _ = synth_chunk_batch(
+            rng, 4, 4096, SR, return_gains=True, mix_bus_kind="full"
+        )
+        g_bus = _lstsq_gain_targets(stems, mix_bused)
+        bus_err = float(jnp.max(jnp.abs(g_bus - g_true)))
+        assert bus_err > 2 * clean_err
+
+    def test_song_twin_bus(self):
+        presented, engineer, gains = make_synth_song(7, duration_s=1.0, sr=SR, bus="full")
+        clean_sum = np.sum(
+            [engineer[s] for s in ("bass", "drums", "vocals", "other")], axis=0
+        )
+        assert float(np.max(np.abs(engineer["mix"] - clean_sum))) > 1e-3
+        # stems themselves stay the engineer-scaled clean stems (up to the
+        # shared PCM16 headroom scale, which sees the bused mix's peak)
+        p2, e2, g2 = make_synth_song(7, duration_s=1.0, sr=SR)
+        for s in ("bass", "drums", "vocals", "other"):
+            a, b = engineer[s], e2[s]
+            ratio = float(np.dot(a, b) / np.dot(b, b))
+            np.testing.assert_allclose(a, ratio * b, atol=1e-6)
+
+
+class TestTrainRawCorpus:
+    def test_train_raw_layout(self, tmp_path):
+        """--train-raw writes the reference's actual supervision layout:
+        presented (raw session) stems + the engineer's mix as mixture.wav
+        (reference model_trainer.py:25-44 regime)."""
+        from tpumix.data import wavio
+
+        root = str(tmp_path / "corpus")
+        lists = write_synth_dataset(
+            root, n_train=1, n_test=1, duration_s=1.0, sr=SR, seed=3, train_raw=True
+        )
+        song = lists["train"][0]
+        presented, engineer, _ = make_synth_song(3, duration_s=1.0, sr=SR)
+        got_mix, _ = wavio.read(f"{root}/train/{song}/mixture.wav")
+        got_bass, _ = wavio.read(f"{root}/train/{song}/bass.wav")
+        # PCM16 write/read grid
+        np.testing.assert_allclose(got_mix, engineer["mix"], atol=1.1 / 32768)
+        np.testing.assert_allclose(got_bass, presented["bass"], atol=1.1 / 32768)
+        # the default layout writes engineer stems + engineer mixture instead
+        root2 = str(tmp_path / "corpus2")
+        write_synth_dataset(root2, n_train=1, n_test=0, duration_s=1.0, sr=SR, seed=3)
+        got2, _ = wavio.read(f"{root2}/train/{song}/bass.wav")
+        np.testing.assert_allclose(got2, engineer["bass"], atol=1.1 / 32768)
+
+
+class TestPatienceDefaults:
+    def test_per_loss_patience(self):
+        from tpumix.cli import _resolve_patience
+
+        assert _resolve_patience(None, "lstsq") == 30
+        assert _resolve_patience(None, "reference") == 10
+        assert _resolve_patience(None, "gain") == 10
+        assert _resolve_patience(7, "lstsq") == 7  # explicit flag wins
+
+    def test_parser_defaults_are_unset(self):
+        from tpumix.cli import build_parser
+
+        p = build_parser()
+        args = p.parse_args(["train-synth"])
+        assert args.patience is None
+
+
+class TestBNMomentumWarning:
+    def _trainer(self, momentum, tmp_path):
+        from tpumix.config import FrontendConfig, TrainConfig
+        from tpumix.models import MixingModelScalar1s
+
+        fe = FrontendConfig(n_fft=256, hop_length=128, sample_rate=SR)
+        model = MixingModelScalar1s(bn_momentum=momentum)
+        cfg = TrainConfig(checkpoint_dir=str(tmp_path), num_epochs=1)
+        from tpumix.train.trainer import Trainer
+
+        # 47 frames: the smallest budget the 5-block VALID stack survives
+        return Trainer(model, fe, cfg, (1, 4, fe.num_bins, 47))
+
+    def test_parity_momentum_warns(self, tmp_path):
+        with pytest.warns(UserWarning, match="bn_momentum=0.1"):
+            self._trainer(0.10, tmp_path)
+
+    def test_stable_momentum_silent(self, tmp_path):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            self._trainer(0.99, tmp_path)

@@ -73,6 +73,80 @@ RIDE_VOCALS_DB = 3.0
 RIDE_OTHER_DB = 2.0
 RIDE_SCALE_DB = 10.0
 
+# --- mix-bus perturbation presets -------------------------------------------
+# The clean family builds the reference mix as an EXACT gain-weighted stem sum
+# — the assumption that makes the closed-form lstsq targets identifiable
+# (tpumix/train/state.py::_lstsq_gain_targets).  Real engineer mixes violate
+# it: the mix bus carries reverb, compression, and limiting (the reference
+# supervises against such human mixes, reference model_trainer.py:25-44 /
+# evaluation.py:194-198).  ``mix_bus`` below models those three stages so the
+# degradation of the lstsq recipe under a non-ideal bus is measurable in-repo
+# (docs/results/synthetic_eval).  Parameters are typical mastering-chain
+# settings, deliberately on the heavy side.
+BUS_REVERB_TAPS = 8  # sparse multi-tap tail (cheap, jittable)
+BUS_REVERB_DELAY_S = 0.009  # per-tap spacing -> ~72 ms tail
+BUS_REVERB_GAIN = 0.35  # wet level
+BUS_REVERB_DECAY = 0.6  # per-tap decay
+BUS_COMP_THRESH_DB = -18.0  # soft-knee RMS compressor
+BUS_COMP_RATIO = 3.0
+BUS_COMP_KNEE_DB = 6.0
+BUS_COMP_WIN_S = 0.02  # envelope window
+BUS_LIMIT_DRIVE = 1.6  # tanh soft limiter drive
+BUS_KINDS = ("reverb", "comp", "limiter", "full")
+
+
+def mix_bus(mix, sr: int, kind: str):
+    """Non-ideal mix-bus processing for the engineer's mix: a short sparse
+    reverb tail, a soft-knee RMS compressor, and a tanh peak limiter —
+    ``kind`` selects one stage or ``"full"`` for the whole chain.  Works on
+    numpy and jnp arrays (jittable); operates along the last axis.
+
+    Each stage breaks the exact-gain-sum mix model in a distinct way: reverb
+    adds a linear but non-instantaneous component (stem-correlated, so lstsq
+    absorbs part of it), compression is a time-varying level-dependent gain,
+    and the limiter is memoryless but amplitude-nonlinear.
+    """
+    if kind not in BUS_KINDS:
+        raise ValueError(f"unknown mix_bus kind {kind!r}; expected one of {BUS_KINDS}")
+    xp = np if isinstance(mix, np.ndarray) else _jnp()
+
+    def movavg(x, k):
+        pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+        c = xp.cumsum(xp.pad(x, pad, mode="edge"), axis=-1)
+        return (c[..., k:] - c[..., :-k]) / k
+
+    if kind in ("reverb", "full"):
+        d = max(int(BUS_REVERB_DELAY_S * sr), 1)
+        n = mix.shape[-1]
+        wet = xp.zeros_like(mix)
+        for k in range(1, BUS_REVERB_TAPS + 1):
+            pad = [(0, 0)] * (mix.ndim - 1) + [(k * d, 0)]
+            tap = xp.pad(mix, pad)[..., :n]
+            wet = wet + (BUS_REVERB_DECAY**k) * tap
+        mix = mix + BUS_REVERB_GAIN * wet
+    if kind in ("comp", "full"):
+        win = max(int(BUS_COMP_WIN_S * sr), 1)
+        env_db = 10.0 * xp.log10(movavg(mix * mix, win) + 1e-12)
+        over = env_db - BUS_COMP_THRESH_DB
+        knee = BUS_COMP_KNEE_DB
+        slope = 1.0 - 1.0 / BUS_COMP_RATIO
+        # gain reduction in dB: 0 below the knee, slope*over above it,
+        # quadratic interpolation inside the knee (standard soft-knee law)
+        reduction = xp.where(
+            over <= -knee / 2,
+            xp.zeros_like(over),
+            xp.where(
+                over >= knee / 2,
+                slope * over,
+                slope * (over + knee / 2) ** 2 / (2.0 * knee),
+            ),
+        )
+        mix = mix * 10.0 ** (-reduction / 20.0)
+    if kind in ("limiter", "full"):
+        # unity small-signal slope; only peaks compress
+        mix = xp.tanh(mix * BUS_LIMIT_DRIVE) / BUS_LIMIT_DRIVE
+    return mix
+
 
 def engineer_targets_db(u_db):
     """Per-stem engineer target levels given presented levels ``u_db [..., 4]``
@@ -114,6 +188,7 @@ def synth_chunk_batch(
     return_gains: bool = False,
     context_mult: int = 1,
     level_shift_db: Optional[Tuple[float, float]] = None,
+    mix_bus_kind: Optional[str] = None,
 ):
     """Jittable synthetic training batch: ``(stems [B, 4, n], mix [B, n])``.
 
@@ -154,6 +229,14 @@ def synth_chunk_batch(
     on level DIFFERENCES (shift-invariant), and the evaluation metric is
     relative loudness, so shift-compensated and pre-shift gains are
     evaluation-equivalent; the compensated form is simply the learnable one.
+
+    ``mix_bus_kind`` applies :func:`mix_bus` to the engineer's reference mix
+    over the FULL context (as a real mastering chain processes the whole
+    song) — the non-ideal-bus family for stressing the self-supervised
+    objectives.  Stems and (with ``return_gains``) the gain labels stay
+    clean: the labels remain the engineer's true gains, so label-supervised
+    training is bus-invariant by construction while (stems, mix)-derived
+    objectives (lstsq/coherent/reference/roundtrip) see the perturbation.
     """
     import jax
     import jax.numpy as jnp
@@ -217,6 +300,8 @@ def synth_chunk_batch(
     targets = engineer_targets_db(u_db)  # [B, 4]
     gains = 10.0 ** ((targets - u_db) / 20.0)
     mix = jnp.sum(presented * gains[..., None], axis=1)  # [B, n]
+    if mix_bus_kind is not None:
+        mix = mix_bus(mix, sr, mix_bus_kind)
 
     if n_win < n:
         # random n_win-sample window of the context, per item
@@ -249,10 +334,13 @@ def _movavg_np(x: np.ndarray, k: int) -> np.ndarray:
 
 
 def make_synth_song(
-    seed: int, duration_s: float = 30.0, sr: int = 44100
+    seed: int, duration_s: float = 30.0, sr: int = 44100, bus: Optional[str] = None
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], Dict[str, float]]:
     """One full synthetic song.
 
+    :param bus: apply :func:`mix_bus` processing of this kind to
+        ``engineer['mix']`` (the stems stay clean) — the non-ideal-bus song
+        family.  None (default) keeps the exact gain-sum mix.
     :return: ``(presented, engineer, gains)`` — presented raw-session stems
         (mono ``[n]`` float32), the engineer-scaled stems (same keys), and the
         per-stem engineer amplitude gains.  ``engineer['mix']`` /
@@ -301,6 +389,8 @@ def make_synth_song(
 
     presented["mix"] = np.sum([presented[s] for s in STEMS], axis=0).astype(np.float32)
     engineer["mix"] = np.sum([engineer[s] for s in STEMS], axis=0).astype(np.float32)
+    if bus is not None:
+        engineer["mix"] = mix_bus(engineer["mix"], sr, bus).astype(np.float32)
 
     # PCM16 headroom: a single shared scale keeps every relative relationship
     # (and the evaluator's relative-loudness metric) intact
@@ -326,6 +416,8 @@ def write_synth_dataset(
     duration_s: float = 30.0,
     sr: int = 44100,
     seed: int = 0,
+    train_raw: bool = False,
+    bus: Optional[str] = None,
 ) -> Dict[str, list]:
     """Materialise a synthetic corpus in the MUSDB18 layout:
 
@@ -336,6 +428,16 @@ def write_synth_dataset(
     * ``manual_gain_mixes/{song}/{stem}.wav``  — engineer-scaled test stems
       (the evaluation reference, reference evaluation.py:90-97 layout).
 
+    ``train_raw=True`` writes the TRAINING split in the reference's actual
+    supervision layout instead (reference model_trainer.py:25-44: raw session
+    stems in, the engineer's finished mix as the target): ``train/{song}/
+    {stem}.wav`` = presented raw-session stems, ``train/{song}/mixture.wav``
+    = the engineer's mix.  This is the corpus the host file-corpus training
+    path (``python -m tpumix train``) consumes to learn non-trivial gains.
+
+    ``bus`` applies :func:`mix_bus` processing to every engineer mix (the
+    non-ideal-bus corpus family).
+
     Returns ``{"train": [...], "test": [...]}`` songlists.
     """
     from tpumix.data import wavio
@@ -343,17 +445,24 @@ def write_synth_dataset(
     train_songs = synth_songlist("synth_train_", n_train)
     test_songs = synth_songlist("synth_test_", n_test)
 
-    def dump(dirpath: str, tracks: Dict[str, np.ndarray]) -> None:
+    def dump(dirpath: str, tracks: Dict[str, np.ndarray], mix=None) -> None:
         os.makedirs(dirpath, exist_ok=True)
         for stem in STEMS:
             wavio.write(os.path.join(dirpath, f"{stem}.wav"), tracks[stem], sr)
-        wavio.write(os.path.join(dirpath, "mixture.wav"), tracks["mix"], sr)
+        wavio.write(
+            os.path.join(dirpath, "mixture.wav"),
+            tracks["mix"] if mix is None else mix,
+            sr,
+        )
 
     for i, song in enumerate(train_songs):
-        _, engineer, _ = make_synth_song(seed + i, duration_s, sr)
-        dump(os.path.join(root, "train", song), engineer)
+        presented, engineer, _ = make_synth_song(seed + i, duration_s, sr, bus=bus)
+        if train_raw:
+            dump(os.path.join(root, "train", song), presented, mix=engineer["mix"])
+        else:
+            dump(os.path.join(root, "train", song), engineer)
     for i, song in enumerate(test_songs):
-        presented, engineer, _ = make_synth_song(seed + 10_000 + i, duration_s, sr)
+        presented, engineer, _ = make_synth_song(seed + 10_000 + i, duration_s, sr, bus=bus)
         dump(os.path.join(root, "test", song), presented)
         dump(os.path.join(root, "manual_gain_mixes", song), engineer)
     return {"train": train_songs, "test": test_songs}

@@ -85,6 +85,27 @@ class Trainer:
             model, jax.random.key(config.seed), input_shape, self.tx
         )
 
+        # quality trap, armed by default in parity configs: flax retained
+        # fraction 0.10 (= torch BatchNorm2d momentum 0.90, reference
+        # model_scalar_1s.py:151-190) makes running stats track essentially
+        # the LAST batch, so eval-mode outputs — and the val loss early
+        # stopping judges — are noisy unless the run is long and batches are
+        # representative.  Every shipped tpumix recipe overrides to 0.99;
+        # warn anyone training with the parity value so short runs don't
+        # silently pick checkpoints on BN noise (round-3 judge finding).
+        bn_m = getattr(model, "bn_momentum", None)
+        if bn_m is not None and bn_m <= 0.5:
+            import warnings
+
+            warnings.warn(
+                f"model bn_momentum={bn_m} (torch-parity): BatchNorm running "
+                "stats will track the last batch almost exclusively, making "
+                "eval-mode validation noisy on short runs — pass "
+                "--bn-momentum 0.99 (ModelConfig.bn_momentum) unless strict "
+                "reference parity is the goal",
+                stacklevel=2,
+            )
+
         if config.loss == "gain" and not self._supports_gain_loss:
             from tpumix.train.state import _check_loss
 
@@ -388,13 +409,17 @@ class SyntheticTrainer(Trainer):
         val_batches: int = 4,
         context_mult: int = 4,
         level_shift_db: Optional[Tuple[float, float]] = (-14.0, 2.0),
+        mix_bus_kind: Optional[str] = None,
     ):
         """``context_mult``: generator context length in chunks — levels and
         labels are song-global over the context and the model sees one random
         chunk window of it (inference-distribution match; see
         synth_chunk_batch).  1 = the legacy per-chunk-exact-RMS task.
         ``level_shift_db``: scale-invariance augmentation range (shared
-        global level shift, labels unchanged); None disables."""
+        global level shift, labels unchanged); None disables.
+        ``mix_bus_kind``: non-ideal mix-bus processing on the generator's
+        reference mix (tpumix.data.synthetic.mix_bus) — stresses the
+        (stems, mix)-derived objectives; gain labels stay clean."""
         super().__init__(model, frontend, config, input_shape, mesh=mesh, run_name=run_name)
         from tpumix.data.synthetic import synth_chunk_batch
 
@@ -437,11 +462,13 @@ class SyntheticTrainer(Trainer):
                 stems, _, g_true = synth_chunk_batch(
                     rng, B, chunk_samples, sr, return_gains=True,
                     context_mult=context_mult, level_shift_db=level_shift_db,
+                    mix_bus_kind=mix_bus_kind,
                 )
                 return stems, g_true
             return synth_chunk_batch(
                 rng, B, chunk_samples, sr,
                 context_mult=context_mult, level_shift_db=level_shift_db,
+                mix_bus_kind=mix_bus_kind,
             )
 
         def fused(state, rng):
