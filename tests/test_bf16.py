@@ -36,6 +36,7 @@ def _batch(b=2, seed=0):
     return stems, stems.sum(axis=1)
 
 
+@pytest.mark.heavy
 class TestBf16Training:
     def test_state_dtypes_stay_f32_and_step_is_finite(self):
         model = build_model(_tiny_cfg("bfloat16"), for_training=True)

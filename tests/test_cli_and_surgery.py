@@ -136,6 +136,7 @@ class TestSurgery:
         assert all_ids == [f"{i:02d}" for i in range(1, 11)]  # a partition
 
 
+@pytest.mark.heavy
 class TestCLI:
     def test_help_all_subcommands(self, capsys):
         for cmd in ["train", "mix", "evaluate", "mean-loudness", "precompute",
@@ -200,6 +201,7 @@ class TestCLI:
         assert os.path.exists(out)
 
 
+@pytest.mark.heavy
 class TestCLITrain:
     def test_train_command_end_to_end(self, tmp_path):
         """Full CLI train on a tiny synthetic corpus (production shapes,

@@ -68,6 +68,7 @@ class TestXlsx:
             assert "xl/worksheets/sheet1.xml" in z.namelist()
 
 
+@pytest.mark.heavy
 class TestEvaluator:
     def test_process_songlist(self, musdb_root, mixer, tmp_path):
         mean_loudness = {t: -20.0 for t in ("bass", "drums", "vocals", "other")}
@@ -140,6 +141,7 @@ class TestEvaluator:
         assert ev.loudness_dict_diff(d, d) == 0.0
 
 
+@pytest.mark.heavy
 class TestListening:
     def test_prep_and_parse(self, musdb_root, mixer, tmp_path):
         from tpumix.models.baselines import RandomModel

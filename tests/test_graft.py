@@ -2,6 +2,11 @@
 compiles and runs, and the multi-chip dp x sp training step executes on the
 8-device simulation mesh."""
 
+import pytest
+
+# integration-scale module: excluded from the fast tier (-m 'not slow and not heavy')
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 
 import jax

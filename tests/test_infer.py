@@ -138,6 +138,7 @@ class TestBatchedVsSequential:
         assert abs(np.max(np.abs(out)) - 1.0) < 1e-5
 
 
+@pytest.mark.heavy
 class TestTransferModes:
     def test_int16_transfer_exact_for_pcm16_sources(self, model_and_vars, song):
         """For 16-bit PCM source material (MUSDB18-HQ stems), int16 transfer
@@ -165,6 +166,7 @@ class TestTransferModes:
         np.testing.assert_allclose(big.song_gains(stems), small.song_gains(stems), atol=1e-5)
 
 
+@pytest.mark.heavy
 class TestShardedMixing:
     def test_chunk_axis_sharded_gains_match(self, model_and_vars, song):
         from tpumix.parallel.mesh import make_mesh
@@ -180,6 +182,7 @@ class TestShardedMixing:
         np.testing.assert_allclose(g1, g2, atol=1e-4)
 
 
+@pytest.mark.heavy
 class TestCatalog:
     def test_mix_catalog(self, model_and_vars, tmp_path):
         import os
@@ -202,6 +205,7 @@ class TestCatalog:
         assert os.path.exists(os.path.join(out, "CatA_sum.wav"))
 
 
+@pytest.mark.heavy
 class TestPipelinedMixing:
     def test_mix_songs_smooth_matches_individual(self, model_and_vars, song):
         model, variables = model_and_vars
@@ -229,6 +233,7 @@ class TestPipelinedMixing:
         assert os.path.exists(out)
 
 
+@pytest.mark.heavy
 class TestShimCaching:
     def test_free_function_shim_reuses_one_mixer(self, model_and_vars, song):
         """The reference-signature free function must NOT build (and re-jit)

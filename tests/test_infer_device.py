@@ -7,6 +7,9 @@ inference_utils.py:105-145)."""
 import numpy as np
 import pytest
 
+# integration-scale module: excluded from the fast tier (-m 'not slow and not heavy')
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,9 @@ roundtrip, degenerate songs."""
 import numpy as np
 import pytest
 
+# integration-scale module: excluded from the fast tier (-m 'not slow and not heavy')
+pytestmark = pytest.mark.heavy
+
 import jax
 
 from tpumix.config import ModelConfig

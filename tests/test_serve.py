@@ -1,5 +1,10 @@
 """HTTP mixing service: wire format round-trip and live request handling."""
 
+import pytest
+
+# integration-scale module: excluded from the fast tier (-m 'not slow and not heavy')
+pytestmark = pytest.mark.heavy
+
 import http.client
 import json
 import threading

@@ -16,6 +16,9 @@ import os
 import numpy as np
 import pytest
 
+# integration-scale module: excluded from the fast tier (-m 'not slow and not heavy')
+pytestmark = pytest.mark.heavy
+
 from tpumix.assets import checkpoint_path, load_checkpoint
 from tpumix.config import preset
 from tpumix.data.synthetic import STEMS, make_synth_song

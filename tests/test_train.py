@@ -67,6 +67,7 @@ def data():
     return batches(ds, bs=8)
 
 
+@pytest.mark.heavy
 class TestTrainStep:
     def test_loss_decreases(self, data):
         model = MixingModelScalar1s()
@@ -118,6 +119,7 @@ class TestTrainStep:
         assert abs(float(updates["w"]) + 0.1) < 1e-3
 
 
+@pytest.mark.heavy
 class TestMeshTraining:
     def test_dp_training_on_8_device_mesh(self, data, tmp_path):
         assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
@@ -268,6 +270,7 @@ class TestTrainerLoop:
         assert len(kept) == 1
 
 
+@pytest.mark.heavy
 class TestPallasFrontendTraining:
     def test_train_step_with_pallas_frontend(self, data):
         """Pallas-forward/XLA-backward frontend trains (interpret mode on CPU)."""
@@ -288,6 +291,7 @@ class TestPallasFrontendTraining:
         assert abs(float(m["loss"]) - float(m_fft["loss"])) / float(m_fft["loss"]) < 1e-3
 
 
+@pytest.mark.heavy
 class TestInt16Training:
     def test_int16_batches_match_f32(self, data):
         """int16 waveform batches (on-device dequant) produce the same loss
@@ -326,6 +330,7 @@ class TestInt16Training:
         assert np.isfinite(res.train_loss[0])
 
 
+@pytest.mark.heavy
 class TestResume:
     def test_resume_restores_latest(self, data, tmp_path):
         model = MixingModelScalar1s()
@@ -358,6 +363,7 @@ class TestResume:
         assert tr.resume() == 0
 
 
+@pytest.mark.heavy
 class TestGainSupervised:
     """Label-supervised objective for generators that know the true gains
     (tpumix.train.state.make_gain_train_step + SyntheticTrainer loss='gain')."""
@@ -465,6 +471,7 @@ class TestGainSupervised:
         np.testing.assert_allclose(recon, np.asarray(m1), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.heavy
 class TestResumeScores:
     def test_keep_k_quota_spans_resume(self, data, tmp_path):
         """resume() must reload scores.json so keep_checkpoints prunes
@@ -675,6 +682,7 @@ class TestSelfSupervisedObjectiveBias:
         assert loss(0.0) > min(losses) * 1.02
 
 
+@pytest.mark.heavy
 class TestCoherentLoss:
     def test_coherent_optimum_is_true_gains(self):
         """Waveform-domain self-supervision is identifiable: on exact
@@ -711,6 +719,7 @@ class TestCoherentLoss:
         assert np.isfinite(l1) and l1 < l0
 
 
+@pytest.mark.heavy
 class TestLstsqLoss:
     def test_targets_recover_true_gains_on_exact_sums(self):
         """On exact gain-weighted synthetic sums the closed-form projection
