@@ -153,8 +153,12 @@ class ConvBlock2d(nn.Module):
     # narrow-channel MXU fill (tpumix/ops/conv_khgemm.py; params identical);
     # "pallas" = fused conv+BN+ReLU Pallas kernel for wide inference blocks
     # (tpumix/ops/conv_block_pallas.py; >= fused_min_cout() channels, stride
-    # 1/dilation 1, f32, eval mode — everything else falls to khgemm).
-    # All three declare IDENTICAL parameter trees.
+    # 1/dilation 1, f32, eval mode — everything else falls to khgemm);
+    # "khgemm_int8" = dynamic-W8A8 s8 MXU compute with f32 epilogue,
+    # inference-ONLY (tpumix/ops/conv_int8.py; train=True raises — round-to-
+    # nearest has no useful gradient, and silently swapping numerics under a
+    # trainer would be a quality trap).  All variants declare IDENTICAL
+    # parameter trees.
     conv_impl: str = "xla"
 
     @nn.compact
@@ -190,14 +194,25 @@ class ConvBlock2d(nn.Module):
             # conv + BN + ReLU in one VMEM-resident pass; dropout is an
             # eval-mode no-op
             return fused(x, kernel, s, t)
-        if self.conv_impl in ("khgemm", "khgemm_hybrid", "pallas"):
+        if self.conv_impl in ("khgemm", "khgemm_hybrid", "pallas", "khgemm_int8"):
+            if self.conv_impl == "khgemm_int8":
+                if train:
+                    raise ValueError(
+                        "conv_impl='khgemm_int8' is inference-only (round-to-"
+                        "nearest has no useful gradient); train with 'xla'/"
+                        "'khgemm_hybrid' and switch impls at eval time — the "
+                        "parameter trees are identical"
+                    )
+                vjp = "int8"
+            else:
+                vjp = "xla" if self.conv_impl == "khgemm_hybrid" else "khgemm"
             x = KhGemmConv(
                 features=self.features,
                 kernel_size=_pair(self.kernel_size),
                 strides=(self.strides, self.strides),
                 kernel_dilation=(self.dilation, self.dilation),
                 dtype=self.dtype,
-                vjp="xla" if self.conv_impl == "khgemm_hybrid" else "khgemm",
+                vjp=vjp,
                 name="conv",
             )(x)
         else:

@@ -35,6 +35,13 @@ def build_model(cfg: ModelConfig, for_training: bool = False):
     inference."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     conv_impl = cfg.conv_impl
+    if conv_impl == "khgemm_int8" and for_training:
+        raise ValueError(
+            "conv_impl='khgemm_int8' is inference-only — the W8A8 lowering "
+            "has no useful gradient (round-to-nearest).  Train with "
+            "conv_impl='auto' and switch to khgemm_int8 at eval time; the "
+            "parameter trees are identical."
+        )
     if conv_impl == "auto":
         from tpumix.utils.backend import is_tpu_backend
 

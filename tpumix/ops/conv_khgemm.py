@@ -146,6 +146,11 @@ def _hybrid_bwd(res, g):
 
 conv2d_valid_khgemm_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
+# the W8A8 variant shares the khgemm layout; implementation + scheme notes
+# live in tpumix/ops/conv_int8.py (re-exported here as the khgemm family's
+# third lowering)
+from tpumix.ops.conv_int8 import conv2d_valid_khgemm_int8  # noqa: E402
+
 
 def conv2d(
     x: jax.Array,
@@ -156,8 +161,11 @@ def conv2d(
 ) -> jax.Array:
     """VALID conv dispatch: khgemm for the stride-1/dilation-1 hot layers,
     lax.conv for the rest (conv1's stride 2 / Scalar2s's dilation 2).
-    ``vjp="xla"`` selects the hybrid (khgemm forward, lax.conv backward)."""
+    ``vjp="xla"`` selects the hybrid (khgemm forward, lax.conv backward);
+    ``vjp="int8"`` the inference-only s8 MXU path (tpumix/ops/conv_int8.py)."""
     if strides == (1, 1) and dilation == (1, 1):
+        if vjp == "int8":
+            return conv2d_valid_khgemm_int8(x, w)
         if vjp == "xla":
             return conv2d_valid_khgemm_hybrid(x, w)
         return conv2d_valid_khgemm(x, w)
