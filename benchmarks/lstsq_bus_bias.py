@@ -21,15 +21,17 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpumix.data.synthetic import BUS_KINDS, make_synth_song, mix_bus
-from tpumix.train.state import _lstsq_gain_targets
+from tpumix.train.state import _lstsq_gain_targets, _lstsq_tail_gain_targets
 
 STEMS = ("bass", "drums", "vocals", "other")
 SR = 44100
 SEG = 2 * SR
 
-rows = {}
+plain_fn = jax.jit(_lstsq_gain_targets)
+tail_fn = jax.jit(_lstsq_tail_gain_targets)
+
 for kind in (None,) + tuple(BUS_KINDS):
-    errs = []
+    errs, errs_tail = [], []
     for seed in range(200, 210):
         presented, engineer, gains = make_synth_song(seed, duration_s=30.0, sr=SR)
         mix = engineer["mix"]
@@ -40,16 +42,15 @@ for kind in (None,) + tuple(BUS_KINDS):
         # stem (g_true = 0); any deviation is pure bus-induced bias
         for k in range(stems.shape[1] // SEG):
             sl = slice(k * SEG, (k + 1) * SEG)
-            t = _lstsq_gain_targets(
-                jnp.asarray(stems[None, :, sl]), jnp.asarray(mix[None, sl])
-            )
-            errs.append(np.abs(np.asarray(t)[0]))
-    errs = np.stack(errs)  # [chunks, 4]
-    rows[kind or "clean"] = (errs.mean(), errs.max())
+            s = jnp.asarray(stems[None, :, sl])
+            m = jnp.asarray(mix[None, sl])
+            errs.append(np.abs(np.asarray(plain_fn(s, m))[0]))
+            errs_tail.append(np.abs(np.asarray(tail_fn(s, m))[0]))
+    errs, errs_tail = np.stack(errs), np.stack(errs_tail)  # [chunks, 4]
     print(
-        f"{kind or 'clean':8s}: target bias mean {errs.mean():.4f} "
-        f"max {errs.max():.4f} scalar-gain units "
-        f"({10*errs.mean():.2f} dB mean, {10*errs.max():.2f} dB max)",
+        f"{kind or 'clean':8s}: lstsq bias mean {10*errs.mean():.2f} dB "
+        f"max {10*errs.max():.2f} | lstsq_tail mean {10*errs_tail.mean():.2f} "
+        f"max {10*errs_tail.max():.2f}",
         flush=True,
     )
 print("DONE", flush=True)

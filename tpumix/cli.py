@@ -118,7 +118,7 @@ def _resolve_patience(patience, loss: str) -> int:
     EarlyStopping(patience=10) parity (training_ignite.ipynb cell 13)."""
     if patience is not None:
         return patience
-    return 30 if loss == "lstsq" else 10
+    return 30 if loss in ("lstsq", "lstsq_tail") else 10
 
 
 def cmd_train(args) -> int:
@@ -462,7 +462,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq"],
+    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail"],
                     help="reference = dB-linear masked-sum MSE (parity); "
                          "roundtrip = gains supervised through the inference map")
     sp.add_argument("--bn-momentum", type=float, default=0.10,
@@ -532,7 +532,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "lstsq", "gain"],
+    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "gain"],
                     help="gain (default): MSE against the generator's true "
                          "gain labels — the only per-stem-identifiable "
                          "objective on this family (spectrogram magnitudes of "

@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional, Tuple
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from tpumix.config import FrontendConfig
@@ -216,41 +217,131 @@ def make_gain_eval_step(model, frontend: FrontendConfig) -> Callable:
 #: solved on-device per batch item), and the model is supervised on those
 #: self-computed targets in the scalar-gain domain — still strictly
 #: (stems, mix)-derived, identifiable, and as well-conditioned as label
-#: supervision.
-SELF_SUPERVISED_LOSSES = ("reference", "roundtrip", "coherent", "lstsq")
+#: supervision.  "lstsq_tail" widens the solve's basis with data-driven
+#: delayed-sum regressors so mix-bus reverb lands in the tail coefficients
+#: instead of biasing the gains (measured round 4: reverb-family target
+#: bias 0.72 -> 0.16 dB mean; degenerates to plain lstsq on clean mixes —
+#: see _lstsq_tail_gain_targets).
+SELF_SUPERVISED_LOSSES = ("reference", "roundtrip", "coherent", "lstsq", "lstsq_tail")
 
 
-def _lstsq_gain_targets(stems: jax.Array, mix: jax.Array) -> jax.Array:
-    """Per-item closed-form mixing gains: ``argmin_a || sum_s a_s stem_s -
-    mix ||^2`` via the 4x4 normal equations, mapped to the model-scalar
-    domain through the inverse of the reference inference map
-    (``amp = 10**(0.5 g)``, reference inference_utils.py:129).
+def _solve_amp(regs: jax.Array, target: jax.Array) -> jax.Array:
+    """Batched regularised least squares: ``argmin_a ||a . regs - target||^2``.
 
-    :param stems: ``[B, S, T]`` waveforms; :param mix: ``[B, T]``.
-    :return: ``[B, S]`` scalar-gain targets (stop-gradient applied by the
-        caller's MSE — targets are data, not a differentiable path).
+    :param regs: ``[B, R, T]`` regressor waveforms; :param target: ``[B, T]``.
+    :return: ``[B, R]`` coefficients (finite-guarded, NOT clamped/log-mapped).
+
+    Tikhonov jitter scaled to the Gram diagonal keeps near-silent or
+    collinear regressors solvable.  The relative term vanishes when ALL
+    regressors in an item are silent (gram == 0, e.g. a song intro/outro
+    window on a real corpus), which would make the solve singular and poison
+    the batch loss with NaN — the absolute floor keeps the system nonsingular
+    there, and the finite-guard catches any residual pathology.
     """
-    gram = jnp.einsum("bst,but->bsu", stems, stems)  # [B, S, S]
-    rhs = jnp.einsum("bst,bt->bs", stems, mix)  # [B, S]
-    # Tikhonov jitter scaled to the Gram diagonal keeps near-silent or
-    # collinear stems solvable.  The relative term vanishes when ALL stems in
-    # an item are silent (gram == 0, e.g. a song intro/outro window on a real
-    # corpus), which would make the solve singular and poison the batch loss
-    # with NaN — the absolute floor keeps the system nonsingular there, and
-    # the finite-guard below catches any residual pathology.
-    S = stems.shape[1]
+    gram = jnp.einsum("bst,but->bsu", regs, regs)  # [B, R, R]
+    rhs = jnp.einsum("bst,bt->bs", regs, target)  # [B, R]
+    R = regs.shape[1]
     jitter = (
         1e-6 * jnp.mean(
             jnp.diagonal(gram, axis1=1, axis2=2), axis=1, keepdims=True
         )[..., None]
         + 1e-12
-    ) * jnp.eye(S)
+    ) * jnp.eye(R)
     amp = jnp.linalg.solve(gram + jitter, rhs[..., None])[..., 0]
-    amp = jnp.where(jnp.isfinite(amp), amp, 1e-3)
-    # negative / tiny solutions (degenerate correlation) clamp to a quiet
-    # floor before the log map
-    amp = jnp.maximum(amp, 1e-3)
-    return 2.0 * jnp.log10(amp)
+    return jnp.where(jnp.isfinite(amp), amp, 1e-3)
+
+
+def _amp_to_gain(amp: jax.Array) -> jax.Array:
+    """Amplitude -> model-scalar domain through the inverse of the reference
+    inference map (``amp = 10**(0.5 g)``, reference inference_utils.py:129);
+    negative / tiny solutions (degenerate correlation) clamp to a quiet floor
+    before the log map."""
+    return 2.0 * jnp.log10(jnp.maximum(amp, 1e-3))
+
+
+def _lstsq_gain_targets(stems: jax.Array, mix: jax.Array) -> jax.Array:
+    """Per-item closed-form mixing gains: ``argmin_a || sum_s a_s stem_s -
+    mix ||^2`` via the 4x4 normal equations, mapped to the model-scalar
+    domain.
+
+    :param stems: ``[B, S, T]`` waveforms; :param mix: ``[B, T]``.
+    :return: ``[B, S]`` scalar-gain targets (stop-gradient applied by the
+        caller's MSE — targets are data, not a differentiable path).
+    """
+    return _amp_to_gain(_solve_amp(stems, mix))
+
+
+def _lstsq_tail_gain_targets(
+    stems: jax.Array,
+    mix: jax.Array,
+    n_taps: int = 8,
+    dmin: int = 60,
+    dmax: int = 1200,
+) -> jax.Array:
+    """Tail-robust closed-form gains: the plain lstsq solve plus a data-driven
+    comb-tail term that absorbs mix-bus reverb instead of biasing the gains.
+
+    Measured motivation (docs/results/synthetic_eval round-4 study): a short
+    reverb tail on the engineer's mix adds energy CORRELATED with every stem,
+    shifting the plain least-squares optimum by ~0.7 dB mean / 3.6 dB max on
+    the reverb-bus family — systematic, so a trained model learns the bias.
+    The tail is still LINEAR in the stems though, so widening the basis
+    removes it:
+
+    1. plain solve -> gain-weighted stem sum ``wsum`` and residual
+       ``mix - wsum`` (on a clean gain-sum mix the residual is ~0 and this
+       whole path degenerates to plain lstsq — tested);
+    2. estimate the tail's tap spacing ``d`` per item as the argmax of
+       xcorr(residual, wsum) over [dmin, dmax) (FFT form), with a subharmonic
+       correction (argmax lands on 2d/3d when longer-period content
+       correlates — halve while the half-lag peak holds >= 40% of the picked
+       peak, the standard pitch-tracking guard);
+    3. re-solve with regressors ``{stem_s} + {wsum delayed by k*d,
+       k=1..n_taps}`` and take the DIRECT coefficients as the gain targets
+       (the delayed-sum coefficients absorb the tail and are discarded).
+
+    Measured on the synthetic families (benchmarks/lstsq_bus_bias.py):
+    reverb-bus target bias 0.72 -> 0.16 dB mean, 3.61 -> 1.95 max; full-bus
+    1.13 -> 0.73 mean; clean-family targets unchanged (bias 0.00), and the
+    memoryless comp/limiter stages are untouched by construction (they are
+    not in the tail's span).  Like everything lstsq, this assumes the
+    direct path is instantaneous and common to all stems; per-stem inserts
+    (stem-specific delay/EQ) stay out of scope.
+
+    :param stems: ``[B, S, T]``; :param mix: ``[B, T]``.
+    :return: ``[B, S]`` scalar-gain targets.
+    """
+    B, S, T = stems.shape
+    amp0 = _solve_amp(stems, mix)  # [B, S]
+    wsum = jnp.einsum("bst,bs->bt", stems, jnp.maximum(amp0, 1e-3))
+    resid = mix - wsum
+
+    # xcorr over positive lags via FFT; next power of two >= T + dmax keeps
+    # the circular wrap out of the probed window
+    n = 1 << int(np.ceil(np.log2(T + dmax)))
+    xc = jnp.fft.irfft(
+        jnp.fft.rfft(resid, n) * jnp.conj(jnp.fft.rfft(wsum, n)), n
+    )[:, :dmax]
+    xc = jnp.where(jnp.arange(dmax)[None, :] >= dmin, xc, 0.0)
+    d = jnp.argmax(xc, axis=1)  # [B]
+    peak = jnp.take_along_axis(xc, d[:, None], axis=1)[:, 0]
+    for _ in range(4):  # dmax/dmin < 2**5 — 4 halvings reach the floor
+        half = d // 2
+        half_peak = jnp.take_along_axis(xc, half[:, None], axis=1)[:, 0]
+        take = (half >= dmin) & (half_peak > 0.4 * peak)
+        d = jnp.where(take, half, d)
+        peak = jnp.where(take, half_peak, peak)
+
+    t_idx = jnp.arange(T)[None, :]
+    tails = []
+    for k in range(1, n_taps + 1):
+        idx = t_idx - k * d[:, None]  # [B, T]
+        tails.append(
+            jnp.take_along_axis(wsum, jnp.clip(idx, 0, T - 1), axis=1)
+            * (idx >= 0)
+        )
+    regs = jnp.concatenate([stems, jnp.stack(tails, axis=1)], axis=1)
+    return _amp_to_gain(_solve_amp(regs, mix)[:, :S])
 
 
 def _coherent_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Array:
@@ -266,10 +357,14 @@ def _coherent_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Ar
     return jnp.mean(jnp.square(mix_pred - mix)) / (jnp.mean(jnp.square(mix)) + 1e-8)
 
 
-def _lstsq_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Array:
+def _lstsq_loss(
+    stems: jax.Array, mix: jax.Array, gains: jax.Array, tail: bool = False
+) -> jax.Array:
     """MSE against the closed-form per-item gain targets (shared by train
-    and eval; stop_gradient makes the targets data, a no-op under eval)."""
-    g_star = jax.lax.stop_gradient(_lstsq_gain_targets(stems, mix))
+    and eval; stop_gradient makes the targets data, a no-op under eval).
+    ``tail=True`` selects the tail-robust solve (:func:`_lstsq_tail_gain_targets`)."""
+    targets = _lstsq_tail_gain_targets if tail else _lstsq_gain_targets
+    g_star = jax.lax.stop_gradient(targets(stems, mix))
     return jnp.mean(jnp.square(gains - g_star))
 
 
@@ -349,7 +444,7 @@ def make_train_step(
 
         feats = _features(stems)  # [B, 4, F, T]
         feats = _constrain(feats, (dp_axis, None, None, sp_axis))
-        if loss in ("coherent", "lstsq"):
+        if loss in ("coherent", "lstsq", "lstsq_tail"):
             gt = None  # waveform-domain objectives never consume the mix
         else:  # spectrogram of the mix
             gt = _constrain(_features(mix), (dp_axis, None, sp_axis))
@@ -364,8 +459,11 @@ def make_train_step(
             )
             if loss == "coherent":
                 return _coherent_loss(stems, mix, gains), (mutated["batch_stats"], gains)
-            if loss == "lstsq":
-                return _lstsq_loss(stems, mix, gains), (mutated["batch_stats"], gains)
+            if loss in ("lstsq", "lstsq_tail"):
+                return (
+                    _lstsq_loss(stems, mix, gains, tail=loss == "lstsq_tail"),
+                    (mutated["batch_stats"], gains),
+                )
             if loss == "roundtrip":
                 masked = _roundtrip_masked_db(feats, gains, frontend.amin)
             value = jnp.mean(jnp.square(masked - gt))
@@ -406,8 +504,8 @@ def make_eval_step(model, frontend: FrontendConfig, loss: str = "reference") -> 
         )
         if loss == "coherent":
             return _coherent_loss(stems, mix, gains)
-        if loss == "lstsq":
-            return _lstsq_loss(stems, mix, gains)
+        if loss in ("lstsq", "lstsq_tail"):
+            return _lstsq_loss(stems, mix, gains, tail=loss == "lstsq_tail")
         gt = _features(mix)
         if loss == "roundtrip":
             masked = _roundtrip_masked_db(feats, gains, frontend.amin)
