@@ -161,7 +161,6 @@ def cmd_train(args) -> int:
             augment_data=augment,
         )
 
-    d_train = make_ds(train_songs, args.augment)
     # validation data is NEVER augmented (random val gains would bias the
     # early-stopping signal; the reference never augments validation)
     if not val_songs:
@@ -170,17 +169,36 @@ def cmd_train(args) -> int:
         print("[train] WARNING: validation split is empty at this "
               "--val-fraction; validating on the training songs")
         val_songs = train_songs
-    d_val = make_ds(val_songs, False)
+
+    if args.device_corpus:
+        # HBM-resident corpus: ONE upload, per-step traffic is a ~400-byte
+        # index vector (tpumix/data/device_corpus.py — kills the per-step
+        # link bound AND the axon host-copy retention hazard).  Augmentation
+        # moves into the fused step (on-device random gains, same
+        # all-five-tracks semantics); transfer_dtype is moot — the corpus is
+        # stored int16 on device and the step dequantises by dtype.
+        from tpumix.data.device_corpus import DeviceCorpus, DeviceCorpusIterator
+
+        chunk_samples = model_cfg.frontend().chunk_samples(model_cfg.chunk_length_s)
+        c_train = DeviceCorpus(args.data, train_songs, chunk_samples, args.layout)
+        c_val = DeviceCorpus(args.data, val_songs, chunk_samples, args.layout)
+        d_train_len = c_train.num_chunks
+        step_augment, wire_dtype = args.augment, "float32"
+    else:
+        d_train = make_ds(train_songs, args.augment)
+        d_val = make_ds(val_songs, False)
+        d_train_len = len(d_train)
+        step_augment, wire_dtype = False, args.transfer_dtype
 
     # cosine needs the total step count up front; the loader's epoch length
     # is deterministic (drop_last static batches over the train chunk count)
-    steps_per_epoch = max(1, len(d_train) // args.batch_size)
+    steps_per_epoch = max(1, d_train_len // args.batch_size)
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
-        checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=False,
+        checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=step_augment,
         early_stopping_patience=_resolve_patience(args.patience, args.loss),
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
-        transfer_dtype=args.transfer_dtype,
+        transfer_dtype=wire_dtype,
         lr_schedule=args.lr_schedule,
         lr_total_steps=(args.epochs * steps_per_epoch
                         if args.lr_schedule == "cosine" else None),
@@ -197,8 +215,16 @@ def cmd_train(args) -> int:
         model, model_cfg.frontend(), cfg, example_feature_shape(model_cfg),
         mesh=mesh, run_name=args.run_name,
     )
-    train_loader = BatchIterator(d_train, args.batch_size, seed=args.seed)
-    val_loader = BatchIterator(d_val, args.batch_size, shuffle=False, seed=args.seed)
+    if args.device_corpus:
+        from tpumix.data.device_corpus import DeviceCorpusIterator
+
+        train_loader = DeviceCorpusIterator(c_train, args.batch_size, seed=args.seed)
+        val_loader = DeviceCorpusIterator(
+            c_val, args.batch_size, shuffle=False, seed=args.seed
+        )
+    else:
+        train_loader = BatchIterator(d_train, args.batch_size, seed=args.seed)
+        val_loader = BatchIterator(d_val, args.batch_size, shuffle=False, seed=args.seed)
     start = trainer.resume() if args.resume else 0
     result = trainer.fit(train_loader, val_loader, start, args.epochs)
     print(json.dumps({
@@ -481,6 +507,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(requires --run-name; same escape hatch train-synth "
                          "has — a relay stall or preemption should not cost "
                          "the run)")
+    sp.add_argument("--device-corpus", action="store_true",
+                    help="upload the whole corpus to HBM once (int16) and "
+                         "assemble batches on device — per-step host traffic "
+                         "drops to a ~400-byte index vector.  For corpora "
+                         "that fit HBM next to the model; augmentation runs "
+                         "in the fused step (tpumix/data/device_corpus.py)")
     sp.add_argument("--mesh", default="", help="data-parallel device count")
     sp.set_defaults(fn=cmd_train)
 

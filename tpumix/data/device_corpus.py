@@ -1,0 +1,158 @@
+"""HBM-resident training corpus: upload the songs ONCE, batch on device.
+
+The host file-corpus path (disk -> MultitrackAudioDataset -> BatchIterator ->
+int16 wire -> fused step; the reference's DataLoader regime, reference
+training.ipynb cell 6) pays the host->device link EVERY step — ~42 MB per
+batch-48 x 2 s step through this environment's ~20-40 MB/s tunnel, which
+bounds epochs at ~50-150 s.  Worse, the axon client retains a host copy of
+every distinct uploaded buffer (measured round 4, docs/PERF.md "host-copy
+retention"): a 100-epoch file-corpus run uploads ~130 GB and gets OOM-killed
+by the host kernel around epoch 60.
+
+A mixing corpus is tiny by accelerator standards (MUSDB18-HQ train split
+~21 GB as float32, ~2 GB for a 32-song synthetic corpus as int16), so the
+TPU-first design is to keep it ON DEVICE: quantise each song to int16 PCM on
+the host, upload the whole corpus once, and assemble every batch with an
+on-device gather + dynamic-slice program.  Per step the host sends two [B]
+int32 index vectors (~400 bytes); the fused train step dequantises the int16
+chunks on device exactly like the wire path (tpumix/infer/mixer.py
+_dequantize_on_device).  Epochs stop being link-bound and the retention
+hazard disappears (the corpus is ONE upload, not thousands).
+
+Scope: corpora that fit HBM next to the model + optimiser (int16 halves the
+footprint; a 16 GB v5e comfortably holds ~3 hours of 5-track 44.1 kHz audio
+alongside the scalar models).  Bigger corpora keep the streaming
+`BatchIterator` path — both feed the same `Trainer.fit`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpumix.data import wavio
+from tpumix.data.dataset import STEMS, TRACKLIST
+from tpumix.data.loaders import track_path
+
+
+class DeviceCorpus:
+    """All songs of a corpus split as one int16 device array + chunk table.
+
+    :param base_path: corpus root (one directory per song).
+    :param songlist: song names to load.
+    :param chunk_samples: training chunk length in samples.
+    :param layout: ``"medleydb"`` or ``"musdb18"`` (tpumix.data.loaders).
+    """
+
+    def __init__(
+        self,
+        base_path: str,
+        songlist: Sequence[str],
+        chunk_samples: int,
+        layout: str = "musdb18",
+    ):
+        import jax
+
+        if not songlist:
+            raise ValueError("DeviceCorpus needs a non-empty songlist")
+        self.songlist = list(songlist)
+        self.chunk_samples = int(chunk_samples)
+
+        rows = []
+        chunks_per_song = []
+        for song in self.songlist:
+            tracks = [
+                wavio.read_mono(track_path(base_path, song, t, layout))
+                for t in TRACKLIST
+            ]
+            n = min(t.shape[0] for t in tracks)  # ragged tails align short
+            chunks_per_song.append(n // self.chunk_samples)
+            rows.append(
+                np.stack([t[:n] for t in tracks])  # [5, n] float32
+            )
+        if max(chunks_per_song) == 0:
+            raise ValueError(
+                f"no song in {base_path} is >= one chunk ({chunk_samples} samples)"
+            )
+        t_max = max(r.shape[1] for r in rows)
+        corpus = np.zeros((len(rows), len(TRACKLIST), t_max), np.int16)
+        for i, r in enumerate(rows):
+            corpus[i, :, : r.shape[1]] = np.clip(
+                np.rint(r * 32768.0), -32768, 32767
+            ).astype(np.int16)
+
+        # the ONE corpus upload of the run
+        self.corpus = jax.device_put(corpus)
+        self._cum = np.concatenate([[0], np.cumsum(chunks_per_song)])
+        self.num_chunks = int(self._cum[-1])
+
+        C = self.chunk_samples
+
+        def gather(corpus, song_idx, chunk_idx):
+            """[B] int32 x2 -> (stems [B, 4, C] s16, mix [B, C] s16)."""
+
+            def one(si, ci):
+                row = corpus[si]  # [5, T] gather
+                return jax.lax.dynamic_slice_in_dim(row, ci * C, C, axis=1)
+
+            out = jax.vmap(one)(song_idx, chunk_idx)  # [B, 5, C]
+            return out[:, : len(STEMS)], out[:, len(STEMS)]
+
+        self._gather = jax.jit(gather)
+
+    def index_table(self) -> np.ndarray:
+        """``[num_chunks, 2]`` int32 (song_i, chunk_i) rows."""
+        rows = np.empty((self.num_chunks, 2), np.int32)
+        for s in range(len(self.songlist)):
+            lo, hi = self._cum[s], self._cum[s + 1]
+            rows[lo:hi, 0] = s
+            rows[lo:hi, 1] = np.arange(hi - lo)
+        return rows
+
+    def batch(self, song_idx: np.ndarray, chunk_idx: np.ndarray):
+        """Assemble one batch on device; the ~400-byte index upload is the
+        only host->device traffic of the step."""
+        import jax.numpy as jnp
+
+        return self._gather(
+            self.corpus, jnp.asarray(song_idx, jnp.int32), jnp.asarray(chunk_idx, jnp.int32)
+        )
+
+
+class DeviceCorpusIterator:
+    """Shuffled epoch iterator over a :class:`DeviceCorpus`, yielding DEVICE
+    ``(stems [B, 4, C] int16, mix [B, C] int16)`` batches — a drop-in for
+    ``BatchIterator`` in ``Trainer.fit`` (the fused train/eval steps
+    dequantise int16 on device; ``jnp.asarray`` on a device array is free).
+
+    ``drop_last`` keeps shapes static for jit, like ``BatchIterator``.
+    """
+
+    def __init__(
+        self,
+        corpus: DeviceCorpus,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+        drop_last: bool = True,
+    ):
+        self.corpus = corpus
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._table = corpus.index_table()
+
+    def __len__(self) -> int:
+        n = self.corpus.num_chunks
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(self.corpus.num_chunks)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = len(self) * self.batch_size if self.drop_last else len(order)
+        for lo in range(0, stop, self.batch_size):
+            rows = self._table[order[lo : lo + self.batch_size]]
+            yield self.corpus.batch(rows[:, 0], rows[:, 1])
