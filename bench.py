@@ -34,6 +34,45 @@ CHIP_PEAK_BF16_TFLOPS = 197.0
 CHIP_PEAK_F32_TFLOPS = CHIP_PEAK_BF16_TFLOPS / 3.0
 
 
+def host_init(model, frames: int = 173, seed: int = 0):
+    """Build the model variable tree ENTIRELY on the host — no device, no
+    tunnel, no compile.
+
+    ``jax.eval_shape`` traces ``model.init`` abstractly (pure tracing: the
+    axon tunnel is never touched), then the shapes are filled with numpy:
+    He-normal kernels, zero biases, unit BN scales/vars.  Values are
+    irrelevant to throughput — what matters is that the SAME host-resident
+    tree feeds both the torch twin (so the CPU baseline needs no
+    device->host fetch) and the TPU phases (which ``device_put`` lazily on
+    first use).  This is what makes bench phase 0 genuinely tunnel-free:
+    round 4's empty scoreboard traced to ``model.init`` running on the axon
+    backend and the twin fetching params back through a stalled relay.
+    """
+    import jax
+
+    shapes = jax.eval_shape(
+        lambda k, x: model.init(k, x, train=False),
+        jax.ShapeDtypeStruct((2,), np.uint32),
+        jax.ShapeDtypeStruct((1, 4, 1025, frames), np.float32),
+    )
+    rng = np.random.default_rng(seed)
+
+    def fill(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        if "var" in name or "scale" in name:
+            return np.ones(leaf.shape, leaf.dtype)
+        if "mean" in name or "bias" in name:
+            return np.zeros(leaf.shape, leaf.dtype)
+        fan_in = max(1, int(np.prod(leaf.shape[:-1])))
+        return (rng.standard_normal(leaf.shape) * np.sqrt(2.0 / fan_in)).astype(
+            leaf.dtype
+        )
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(fill, shapes)
+
+
 def make_song(duration_s: float, sr: int = 44100, seed: int = 0):
     rng = np.random.default_rng(seed)
     n = int(duration_s * sr)
@@ -82,9 +121,15 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
     from tpumix.config import preset
     from tpumix.infer.mixer import SongMixer, STEMS
 
+    from tpumix.config import MixConfig
+
     cfg = preset("scalar2s")
     transfer = os.environ.get("BENCH_TRANSFER", "int16")
-    mixer = SongMixer(model, variables, cfg, transfer_dtype=transfer)
+    seg = int(os.environ.get("BENCH_SEG", "64"))
+    mixer = SongMixer(
+        model, variables, cfg, transfer_dtype=transfer,
+        mix_cfg=MixConfig(chunk_length_s=cfg.chunk_length_s, max_chunks=seg),
+    )
     conv_impl = getattr(model, "conv_impl", "n/a")
     print(
         f"[bench detail] frontend implementation = "
@@ -101,7 +146,10 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
 
     # warm-up compiles the (fixed-shape) segment program with a tiny song —
     # identical executables, 40x fewer bytes through the congestible relay
+    state["phase"] = "warmup"  # heartbeat: lets the parent's progress monitor
+    # distinguish "in a long compile" from "emitted nothing ever"
     mixer.mix_song_smooth(make_song(6.0, seed=99))
+    state["phase"] = "link_probe"
 
     # raw-link probe, INTERLEAVED with the end-to-end reps below: the tunnel's
     # rate swings 20-40 MB/s (sometimes <15) minute to minute, so a
@@ -111,7 +159,6 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
     # readback (block_until_ready lies on axon — CLAUDE.md).
     import jax.numpy as jnp
 
-    seg = 64
     C = mixer.chunk_samples
     # half a segment's wire bytes per probe: big enough that the ~30 ms tunnel
     # RTT biases the rate <10%, small enough that probing every rep doesn't
@@ -143,6 +190,7 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
     # back-to-back) and because a single synchronous call through this
     # environment's remote tunnel carries a ~27-37 ms host round-trip that
     # the device never sees (measured round 3, docs/PERF.md).
+    state["phase"] = "resident"
     stems = np.stack([song[t] for t in STEMS])
     need = seg * C
     base = np.tile(stems, (1, -(-need // stems.shape[1])))[:, :need].astype(np.float32)
@@ -204,6 +252,7 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
     # the series-comparable metric.  Fetching one output of the jitted
     # epilogue forces the whole program, so the tiny curve readback is an
     # honest fence for the 112 MB of mixed audio left in HBM.
+    state["phase"] = "full_mix"
     np.asarray(mixer.mix_song_smooth_device(bufs[0])[2])  # warm-up compile
     tic = time.perf_counter()
     outs = [mixer.mix_song_smooth_device(x) for x in bufs[1:]]
@@ -219,6 +268,7 @@ def bench_tpu(model, variables, song, state: dict, reps: int = 48, n_songs: int 
     del outs
     del bufs, base_dev  # release ~750 MB of HBM before the e2e phase
 
+    state["phase"] = "e2e"
     best = float("inf")
     # the shared host->device relay in this environment stalls unpredictably
     # AND its rate swings 5-40 MB/s minute to minute (measured round 3); the
@@ -373,26 +423,170 @@ def _emit(state: dict) -> dict:
             result["verdict"] = "met_resident"
         elif roofline and value >= 0.8 * roofline:
             result["verdict"] = "link_bound"
+        elif state.get("stalled") and not resident and not value:
+            # the tunnel never yielded a single device number: that is a
+            # weather fact about the relay, not a perf verdict on the chip
+            result["verdict"] = "stalled"
         else:
             result["verdict"] = "missed"
     print(json.dumps(result), flush=True)
     return result
 
 
-def main() -> None:
-    import threading
+class _StateFile(dict):
+    """Dict that atomically mirrors itself to a JSON file on every write,
+    so the parent process sees each completed bench phase the moment it
+    lands (and a killed child loses nothing already measured)."""
 
-    import jax
+    def __init__(self, path: str):
+        super().__init__()
+        self._path = path
 
+    def _flush(self) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dict(self), f)
+        os.replace(tmp, self._path)
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self._flush()
+
+    def update(self, *args, **kwargs):
+        super().update(*args, **kwargs)
+        self._flush()
+
+
+def _build_model():
     from tpumix.config import preset
     from tpumix.models.registry import build_model
 
     # registry resolution gives the production hot path (conv_impl="auto"
     # -> khgemm on TPU backends)
-    model = build_model(preset("scalar2s"))
-    variables = model.init(
-        jax.random.key(0), np.zeros((1, 4, 1025, 173), np.float32), train=False
-    )
+    return build_model(preset("scalar2s"))
+
+
+def _maybe_force_platform() -> None:
+    # testing hook: the session's sitecustomize pins the axon platform before
+    # env vars can act, so plumbing tests (tests/test_bench_harness.py) force
+    # the CPU backend via config — which works until first device use
+    plat = os.environ.get("BENCH_FORCE_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def tpu_child(state_path: str) -> None:
+    """Child-process entry: run every TPU phase, mirroring incremental state
+    to ``state_path``.  Parameters are rebuilt deterministically via
+    :func:`host_init` (same seed as the parent's twin), so nothing needs to
+    cross the process boundary."""
+    _maybe_force_platform()
+    state = _StateFile(state_path)
+    model = _build_model()
+    variables = host_init(model)
+    song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
+    bench_tpu(model, variables, song, state)
+
+
+def _read_state(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+_child_proc = None  # killed by the watchdog so a stalled child never outlives us
+
+
+def run_tpu_phases(state: dict, deadline_at: float) -> None:
+    """Run the TPU phases in a KILLABLE child process, monitored for
+    progress, with one retry.
+
+    Rationale (round-4 postmortem): the axon relay exhibits multi-minute
+    stalls that block a fence indefinitely.  A stalled fence cannot be
+    interrupted in-process — a thread blocked in the runtime stays blocked —
+    so robustness requires a process boundary: the parent watches the state
+    file, kills the child when it stops making progress (per-phase deadline,
+    shorter than the global one), and retries once.  Stalls are weather;
+    the retry usually lands in a better window, and everything the first
+    attempt measured is preserved (the child flushes state incrementally).
+    """
+    import subprocess
+    import tempfile
+
+    global _child_proc
+    phase_stall = float(os.environ.get("BENCH_PHASE_STALL_SECONDS", "300"))
+    fd, state_path = tempfile.mkstemp(prefix="bench_state_", suffix=".json")
+    os.close(fd)
+    for attempt in range(2):
+        if time.monotonic() > deadline_at - 30:
+            break
+        try:
+            os.remove(state_path)
+        except OSError:
+            pass
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--tpu-child", state_path],
+            stdout=sys.stderr,
+            stderr=sys.stderr,
+        )
+        _child_proc = proc
+        last_snapshot: dict = {}
+        last_progress = time.monotonic()
+        killed = False
+        while True:
+            ret = proc.poll()
+            snap = _read_state(state_path)
+            if snap != last_snapshot:
+                state.update(snap)
+                last_snapshot = snap
+                last_progress = time.monotonic()
+            if ret is not None:
+                break
+            now = time.monotonic()
+            if now > deadline_at - 20 or now - last_progress > phase_stall:
+                print(
+                    f"[bench detail] TPU child made no progress for "
+                    f"{now - last_progress:.0f}s (attempt {attempt + 1}) — killing",
+                    file=sys.stderr,
+                )
+                proc.kill()
+                proc.wait()
+                killed = True
+                break
+            time.sleep(2)
+        _child_proc = None
+        state.update(_read_state(state_path))
+        if not killed and proc.returncode == 0 and "value" in state:
+            state.pop("stalled", None)  # a clean retry clears attempt-1's flag
+            try:
+                os.remove(state_path)
+            except OSError:
+                pass
+            return  # clean complete
+        state["stalled"] = True
+        print(
+            f"[bench detail] TPU attempt {attempt + 1} "
+            f"{'stalled' if killed else f'exited {proc.returncode}'}; "
+            f"phases landed so far: {sorted(state)}",
+            file=sys.stderr,
+        )
+    try:
+        os.remove(state_path)
+    except OSError:
+        pass
+
+
+def main() -> None:
+    import threading
+
+    _maybe_force_platform()
+    model = _build_model()
+    # host-side init: NO tunnel involvement — see host_init's docstring
+    variables = host_init(model)
 
     # `value` is honest end-to-end wall-clock through this environment's
     # ~40 MB/s host->device tunnel (the binding constraint; see docs/PERF.md);
@@ -401,13 +595,10 @@ def main() -> None:
     # where stems live in device-adjacent storage.
     state: dict = {}
 
-    # Watchdog: the axon relay exhibits multi-minute stalls (measured round
-    # 3) that can block a fence indefinitely.  A daemon timer emits whatever
-    # phases completed and hard-exits, so the driver ALWAYS records a JSON
-    # line.  Phases are ordered cheapest-wire first (CPU baseline needs no
-    # tunnel at all, then resident before e2e reps) to maximise what a
-    # stalled run still reports.
+    # Global watchdog backstop: emits whatever landed and hard-exits, so the
+    # driver ALWAYS records a JSON line even if this process itself wedges.
     deadline = float(os.environ.get("BENCH_DEADLINE_SECONDS", "780"))
+    deadline_at = time.monotonic() + deadline
     lock = threading.Lock()
     done = [False]
 
@@ -423,6 +614,11 @@ def main() -> None:
         sys.stderr.flush()
 
     def _watchdog():
+        if _child_proc is not None:
+            try:
+                _child_proc.kill()
+            except OSError:
+                pass
         emit_once(stalled=True)
         os._exit(0)
 
@@ -430,16 +626,25 @@ def main() -> None:
     timer.daemon = True
     timer.start()
 
-    # CPU reference first: it needs no tunnel, so the 1x denominator exists
-    # even if every TPU phase stalls (and nothing runs concurrently with the
-    # torch baseline, per the idle-host measurement rule in CLAUDE.md).
+    # CPU reference first — now TRULY tunnel-free: params are host numpy
+    # (host_init) and the torch twin is built from them without any
+    # device->host fetch, so the 1x denominator exists even if the relay is
+    # down all day.  Nothing runs concurrently with the torch baseline (the
+    # TPU child starts after), per the idle-host measurement rule in
+    # CLAUDE.md.
     state["baseline_cpu_rate"] = round(bench_cpu_reference(model, variables), 2)
 
-    song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
-    bench_tpu(model, variables, song, state)
+    if os.environ.get("BENCH_NO_SUBPROCESS"):
+        song = make_song(float(os.environ.get("BENCH_SONG_SECONDS", "240")))
+        bench_tpu(model, variables, song, state)
+    else:
+        run_tpu_phases(state, deadline_at)
     timer.cancel()
-    emit_once(stalled=False)
+    emit_once(stalled=bool(state.get("stalled")))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child":
+        tpu_child(sys.argv[2])
+    else:
+        main()
