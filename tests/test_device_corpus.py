@@ -95,6 +95,25 @@ class TestDeviceCorpus:
         flat2 = np.concatenate([np.asarray(m).ravel() for _, m in list(it)])
         assert not np.array_equal(flat1, flat2)
 
+    def test_flat_pack_footprint(self, corpus_dir):
+        """Round-4 advisor finding: the corpus must store exactly the sum of
+        (aligned) song lengths — no zero-padding of every song to the longest
+        one (which on ragged corpora like MUSDB18 can double the HBM/upload
+        footprint)."""
+        root, songs = corpus_dir
+        dc = DeviceCorpus(root, songs, CHUNK, layout="musdb18")
+        from tpumix.data.loaders import track_path
+
+        total = 0
+        for s in songs:
+            lens = [
+                wavio.read_mono(track_path(root, s, t, "musdb18")).shape[0]
+                for t in TRACKLIST
+            ]
+            total += min(lens)
+        assert dc.corpus.shape == (len(TRACKLIST), total)
+        assert dc.corpus.dtype == jnp.int16
+
     def test_empty_songlist_rejected(self, corpus_dir):
         root, _ = corpus_dir
         with pytest.raises(ValueError, match="non-empty"):

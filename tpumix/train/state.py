@@ -332,6 +332,15 @@ def _lstsq_tail_gain_targets(
         d = jnp.where(take, half, d)
         peak = jnp.where(take, half_peak, peak)
 
+    # degenerate-pick guard (round-4 advisor finding): when xcorr is
+    # non-positive over the whole [dmin, dmax) band, argmax lands on the
+    # zeroed sub-dmin region, d=0, and every "delayed" regressor is an exact
+    # copy of wsum — collinear with the stems, so the min-norm Tikhonov solve
+    # splits amplitude onto the tail copies (measured: direct amps collapse
+    # ~0.077 -> ~-22 dB gain-target bias for that item).  No positive peak
+    # means no comb evidence: fall back to the plain-lstsq targets per item.
+    no_comb = peak <= 0.0  # [B]
+
     t_idx = jnp.arange(T)[None, :]
     tails = []
     for k in range(1, n_taps + 1):
@@ -341,7 +350,8 @@ def _lstsq_tail_gain_targets(
             * (idx >= 0)
         )
     regs = jnp.concatenate([stems, jnp.stack(tails, axis=1)], axis=1)
-    return _amp_to_gain(_solve_amp(regs, mix)[:, :S])
+    amp = jnp.where(no_comb[:, None], amp0, _solve_amp(regs, mix)[:, :S])
+    return _amp_to_gain(amp)
 
 
 def _coherent_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Array:
