@@ -501,6 +501,18 @@ def _read_state(path: str) -> dict:
 _child_proc = None  # killed by the watchdog so a stalled child never outlives us
 
 
+def _stall_budget(snapshot: dict, phase_stall: float, warmup_stall: float) -> float:
+    """Per-phase no-progress budget for the TPU-child monitor.
+
+    Cold remote compiles happen in the warmup phase and are MINUTES by
+    documented behaviour (CLAUDE.md); a kill mid-compile never reaches the
+    persistent cache, so the retry restarts cold and loses too (measured:
+    two 300 s warmup kills on a fresh machine, round 5).  Warmup therefore
+    gets the longer budget; measurement phases keep the tight one so a
+    stalled fence there still dies fast."""
+    return warmup_stall if snapshot.get("phase") == "warmup" else phase_stall
+
+
 def run_tpu_phases(state: dict, deadline_at: float) -> None:
     """Run the TPU phases in a KILLABLE child process, monitored for
     progress, with one retry.
@@ -519,6 +531,9 @@ def run_tpu_phases(state: dict, deadline_at: float) -> None:
 
     global _child_proc
     phase_stall = float(os.environ.get("BENCH_PHASE_STALL_SECONDS", "300"))
+    # warmup gets its own, longer budget (_stall_budget docstring); the
+    # global deadline still caps everything
+    warmup_stall = float(os.environ.get("BENCH_WARMUP_STALL_SECONDS", "600"))
     fd, state_path = tempfile.mkstemp(prefix="bench_state_", suffix=".json")
     os.close(fd)
     for attempt in range(2):
@@ -547,10 +562,18 @@ def run_tpu_phases(state: dict, deadline_at: float) -> None:
             if ret is not None:
                 break
             now = time.monotonic()
-            if now > deadline_at - 20 or now - last_progress > phase_stall:
+            budget = _stall_budget(last_snapshot, phase_stall, warmup_stall)
+            if now > deadline_at - 20 or now - last_progress > budget:
+                why = (
+                    "global deadline"
+                    if now > deadline_at - 20
+                    else f"stall budget {budget:.0f}s"
+                    f" (phase {last_snapshot.get('phase')!r})"
+                )
                 print(
                     f"[bench detail] TPU child made no progress for "
-                    f"{now - last_progress:.0f}s (attempt {attempt + 1}) — killing",
+                    f"{now - last_progress:.0f}s, {why} exceeded "
+                    f"(attempt {attempt + 1}) — killing",
                     file=sys.stderr,
                 )
                 proc.kill()

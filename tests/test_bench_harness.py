@@ -26,6 +26,19 @@ bench = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(bench)
 
 
+class TestStallBudget:
+    def test_warmup_gets_the_long_budget(self):
+        """Round-5 finding: a cold remote compile (minutes) in the warmup
+        phase must not be killed by the tight measurement budget — a kill
+        mid-compile never reaches the persistent cache, so the retry
+        restarts cold and loses too."""
+        assert bench._stall_budget({"phase": "warmup"}, 300.0, 600.0) == 600.0
+        assert bench._stall_budget({"phase": "resident"}, 300.0, 600.0) == 300.0
+        assert bench._stall_budget({"phase": "e2e"}, 300.0, 600.0) == 300.0
+        # child not started yet / no phase written: tight budget
+        assert bench._stall_budget({}, 300.0, 600.0) == 300.0
+
+
 class TestHostInit:
     def test_host_numpy_tree_matching_device_init_structure(self):
         import jax
