@@ -2,6 +2,8 @@
 checkpoint save/restore, early stopping, and data-parallel mesh training on
 the 8-device CPU simulation mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -361,6 +363,31 @@ class TestResume:
         cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path), seed=0)
         tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="fresh")
         assert tr.resume() == 0
+
+
+class TestResumeHalfWrittenCheckpoint:
+    """A kill mid-save (attempt timeout, preemption) leaves an Orbax
+    ``epoch_<N>.orbax-checkpoint-tmp`` staging dir; the resume scan must
+    neither crash on it nor treat it as restorable (crash-looped every
+    resume retry when it parsed ``int(d.split('_')[1])`` — round 5)."""
+
+    def _trainer(self, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path), seed=0)
+        return Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="sweep_t")
+
+    def test_latest_epoch_ignores_staging_dirs(self, tmp_path):
+        tr = self._trainer(tmp_path)
+        os.makedirs(os.path.join(tr.ckpt_dir, "epoch_0003"))
+        os.makedirs(os.path.join(tr.ckpt_dir, "epoch_0005.orbax-checkpoint-tmp"))
+        assert tr.latest_epoch() == 3
+
+    def test_resume_sweeps_staging_dir_and_starts_fresh(self, tmp_path):
+        tr = self._trainer(tmp_path)
+        stale = os.path.join(tr.ckpt_dir, "epoch_0002.orbax-checkpoint-tmp")
+        os.makedirs(stale)
+        assert tr.resume() == 0  # nothing restorable -> fresh start, no crash
+        assert not os.path.exists(stale)  # staging dir swept
 
 
 @pytest.mark.heavy

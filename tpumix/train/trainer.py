@@ -20,6 +20,7 @@ import dataclasses
 import datetime
 import json
 import os
+import re
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -209,13 +210,21 @@ class Trainer:
                 del self._scores[ep]
 
     def latest_epoch(self) -> Optional[int]:
-        """Newest epoch with a checkpoint in the run dir, or None."""
+        """Newest epoch with a COMPLETE checkpoint in the run dir, or None.
+
+        Only exact ``epoch_<N>`` directory names count: a kill mid-save (a
+        relay stall timeout, preemption) leaves an Orbax
+        ``epoch_<N>.orbax-checkpoint-tmp`` staging dir behind, which is not
+        restorable and must not crash the scan (measured in anger round 5:
+        an 1800 s attempt timeout landed mid-save and the old
+        ``int(d.split("_")[1])`` parse crash-looped every resume retry)."""
         if not os.path.isdir(self.ckpt_dir):
             return None
         epochs = [
-            int(d.split("_")[1])
+            int(m.group(1))
             for d in os.listdir(self.ckpt_dir)
-            if d.startswith("epoch_") and os.path.isdir(os.path.join(self.ckpt_dir, d))
+            if (m := re.fullmatch(r"epoch_(\d+)", d))
+            and os.path.isdir(os.path.join(self.ckpt_dir, d))
         ]
         return max(epochs) if epochs else None
 
@@ -225,6 +234,15 @@ class Trainer:
         The reference's closest artifact is manual warm-starting from a file
         path (reference training.ipynb cell 10, model_trainer.py fit
         start_epoch)."""
+        # sweep half-written checkpoint staging dirs (see latest_epoch): they
+        # hold no restorable state and would shadow the next save of that epoch
+        if os.path.isdir(self.ckpt_dir):
+            import shutil
+
+            for d in os.listdir(self.ckpt_dir):
+                if d.endswith(".orbax-checkpoint-tmp"):
+                    print(f"[resume] sweeping half-written checkpoint {d}")
+                    shutil.rmtree(os.path.join(self.ckpt_dir, d), ignore_errors=True)
         latest = self.latest_epoch()
         if latest is None:
             return 0
