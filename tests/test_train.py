@@ -390,6 +390,28 @@ class TestResumeHalfWrittenCheckpoint:
         assert not os.path.exists(stale)  # staging dir swept
 
 
+class TestFitEndEpochSemantics:
+    """fit's 4th argument is the run's TOTAL length (exclusive end epoch),
+    not a per-call increment — a stall-segmented --resume run must stop at
+    --epochs instead of re-adding the full count every retry (caught live
+    round 5: a 100-epoch run kept training past 100 at floor cosine LR)."""
+
+    def test_start_at_end_trains_nothing(self, tmp_path):
+        model = MixingModelScalar1s()
+        cfg = TrainConfig(batch_size=8, num_epochs=100, checkpoint_dir=str(tmp_path), seed=0)
+        tr = Trainer(model, FRONTEND, cfg, (1, 4, 129, 47), run_name="done_t")
+
+        class ExplodingLoader:
+            def __iter__(self):
+                raise AssertionError("a completed run must not train more epochs")
+
+            def __len__(self):
+                return 1
+
+        res = tr.fit(ExplodingLoader(), ExplodingLoader(), 100, 100)
+        assert res.train_loss == [] and res.best_epoch == -1
+
+
 @pytest.mark.heavy
 class TestGainSupervised:
     """Label-supervised objective for generators that know the true gains
@@ -520,7 +542,7 @@ class TestResumeScores:
         start = tr2.resume()
         assert start == 2
         assert len(tr2._scores) == 2  # ledger reloaded
-        tr2.fit(Loader(), Loader(), start, 2)
+        tr2.fit(Loader(), Loader(), start, 4)  # continue to a 4-epoch total
         kept = sorted(d for d in (tmp_path / "rk").iterdir()
                       if d.name.startswith("epoch_"))
         assert len(kept) == 2  # quota enforced across the resume boundary

@@ -480,7 +480,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("train", help="train a gain model")
     common(sp, checkpoint=False)
-    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--epochs", type=int, default=20,
+                    help="TOTAL epochs for the run; a --resume continues to this total, it does not add this many more")
     sp.add_argument("--batch-size", type=int, default=48)
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--val-fraction", type=float, default=0.2)
@@ -557,7 +558,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cosine decays to 0.01x over epochs*steps (default "
                          "here; 'constant' = reference parity)")
     sp.add_argument("--seed", type=int, default=0)
-    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--epochs", type=int, default=20,
+                    help="TOTAL epochs for the run; a --resume continues to this total, it does not add this many more")
     sp.add_argument("--steps-per-epoch", type=int, default=50)
     sp.add_argument("--batch-size", type=int, default=48)
     sp.add_argument("--lr", type=float, default=1e-3)

@@ -343,9 +343,18 @@ class Trainer:
         train_loader,
         val_loader,
         start_epoch: int = 0,
-        num_epochs: Optional[int] = None,
+        end_epoch: Optional[int] = None,
     ) -> TrainResult:
-        num_epochs = num_epochs or self.config.num_epochs
+        """Train epochs ``[start_epoch, end_epoch)``.
+
+        ``end_epoch`` is the run's TOTAL length (exclusive bound), not a
+        per-call increment: a resumed run (``start_epoch = resume()``)
+        continues to the same ``--epochs`` target instead of extending by
+        that many more (measured in anger round 5: a stall-segmented 100-
+        epoch run kept training past 100 at floor cosine LR because every
+        retry re-added the full count).  ``start_epoch >= end_epoch``
+        trains nothing and reports the run as already complete."""
+        end_epoch = end_epoch or self.config.num_epochs
         rng = jax.random.key(self.config.seed + 1)
         train_hist, val_hist = [], []
         best_val, best_epoch = float("inf"), -1
@@ -357,7 +366,7 @@ class Trainer:
             if f.tell() == 0:
                 writer.writerow(["epoch", "train_loss", "val_loss", "seconds"])
 
-            for epoch in range(start_epoch, start_epoch + num_epochs):
+            for epoch in range(start_epoch, end_epoch):
                 tic = time.time()
                 train_loss = self._run_train_epoch(train_loader, rng)
                 val_loss = self._run_val_epoch(val_loader)
