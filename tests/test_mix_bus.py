@@ -239,6 +239,78 @@ class TestLstsqTail:
         assert np.isfinite(float(eval_step(state2, stems, mix)))
 
 
+class TestLstsqTailCMLoss:
+    """``loss="lstsq_tail_cm"`` (tpumix/train/state.py::_lstsq_loss
+    recenter_cm): a bus comp/limiter biases all four gains of a chunk
+    together by a level-tracking amount — per-chunk-varying common mode the
+    relative-loudness metric does NOT cancel (measured: lstsq_tail still
+    landed 2.34 LU under the full bus, docs/results/synthetic_eval).
+    Recentering each item's target common mode to the batch mean removes
+    exactly that variation and nothing else."""
+
+    def _targets(self, recenter):
+        from tpumix.train.state import _lstsq_loss
+
+        rng = np.random.default_rng(11)
+        stems = jnp.asarray(0.1 * rng.standard_normal((4, 4, 4096)), jnp.float32)
+        # per-item COMMON gain on the mix simulates a chunk-level bus gain
+        item_gain = jnp.asarray([1.0, 0.5, 2.0, 0.8])[:, None]
+        mix = jnp.sum(stems, axis=1) * item_gain
+        # recover the (stop-gradiented) targets by probing the quadratic
+        # loss: argmin over gains == targets, read off via the gradient
+        gains0 = jnp.zeros((4, 4))
+        g = jax.grad(
+            lambda gg: _lstsq_loss(stems, mix, gg, tail=True, recenter_cm=recenter)
+        )(gains0)
+        return np.asarray(-g * gains0.size / 2.0)  # d/dg mean((g-t)^2) = 2(g-t)/N
+
+    def test_recentering_preserves_differential_and_equalises_common_mode(self):
+        t_tail = self._targets(recenter=False)
+        t_cm = self._targets(recenter=True)
+        # the per-item bus gain shows up as common-mode spread in the plain
+        # tail targets...
+        assert np.std(t_tail.mean(axis=1)) > 0.1
+        # ...recentering collapses that spread to one shared value...
+        np.testing.assert_allclose(
+            t_cm.mean(axis=1), np.full(4, t_tail.mean()), atol=1e-5
+        )
+        # ...and leaves every item's differential (stem-relative) part intact
+        np.testing.assert_allclose(
+            t_cm - t_cm.mean(axis=1, keepdims=True),
+            t_tail - t_tail.mean(axis=1, keepdims=True),
+            atol=1e-5,
+        )
+
+    def test_train_and_eval_steps_accept_the_loss(self):
+        import optax
+
+        from tpumix.config import FrontendConfig
+        from tpumix.models import MixingModelScalar1s
+        from tpumix.train.state import TrainState, make_eval_step, make_train_step
+
+        fe = FrontendConfig(n_fft=256, hop_length=128, sample_rate=SR)
+        model = MixingModelScalar1s(bn_momentum=0.99)
+        T = 6000
+        feats_shape = (2, 4, fe.num_bins, 47)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros(feats_shape, jnp.float32), train=False
+        )
+        tx = optax.adam(1e-3)
+        state = TrainState(
+            step=0,
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+        )
+        stems = 0.1 * jax.random.normal(jax.random.key(1), (2, 4, T))
+        mix = jnp.sum(stems, axis=1)
+        train_step = make_train_step(model, fe, tx, loss="lstsq_tail_cm")
+        state2, metrics = train_step(state, stems, mix, jax.random.key(2))
+        assert np.isfinite(float(metrics["loss"]))
+        eval_step = make_eval_step(model, fe, loss="lstsq_tail_cm")
+        assert np.isfinite(float(eval_step(state2, stems, mix)))
+
+
 class TestPatienceDefaults:
     def test_per_loss_patience(self):
         from tpumix.cli import _resolve_patience
@@ -276,6 +348,7 @@ class TestPatienceDefaults:
 
         assert make(loss="lstsq").patience == 30
         assert make(loss="lstsq_tail").patience == 30
+        assert make(loss="lstsq_tail_cm").patience == 30
         assert make(loss="gain").patience == 10
         assert make(loss="lstsq", early_stopping_patience=7).patience == 7
 

@@ -117,6 +117,49 @@ def _resolve_patience(patience, loss: str) -> int:
     return resolve_patience(patience, loss)
 
 
+def _warn_if_lstsq_degenerate(val_loader) -> None:
+    """Loud guard for a silent task killer (measured round 5): on corpora in
+    the MUSDB18 convention — ``mixture.wav`` is the PLAIN SUM of the stem
+    files — the closed-form lstsq gain targets are identically zero (unity
+    gains), so lstsq-family self-supervision learns the constant predictor
+    and augmentation noise, and a quality row built on it is meaningless.
+    The reference's actual regime supervises RAW session stems against the
+    engineer's finished mix (reference model_trainer.py:25-44); a synthetic
+    corpus in that layout comes from ``synth-data --train-raw``.
+
+    Probes one UNAUGMENTED validation batch: engineer-scaled corpora measure
+    mean |target| ~1e-3 scalar units (int16 quantisation only); real mixing
+    gains measure ~0.2+."""
+    import numpy as np
+
+    try:
+        stems0, mix0 = next(iter(val_loader))
+    except StopIteration:
+        return
+    import jax.numpy as jnp
+
+    from tpumix.infer.mixer import _dequantize_on_device
+    from tpumix.train.state import _lstsq_gain_targets
+
+    g0 = np.asarray(
+        _lstsq_gain_targets(
+            _dequantize_on_device(jnp.asarray(stems0)),
+            _dequantize_on_device(jnp.asarray(mix0)),
+        )
+    )
+    if float(np.abs(g0).mean()) < 0.02:
+        print(
+            "[train] WARNING: closed-form gain targets on a validation batch "
+            f"are ~zero (mean |target| = {float(np.abs(g0).mean()):.4f} scalar "
+            "units) — mixture.wav looks like the plain sum of the stem files, "
+            "which makes lstsq-family self-supervision DEGENERATE (the model "
+            "learns the constant unity-gain predictor).  Supervise raw "
+            "session stems against the engineer's mix instead "
+            "(synth-data --train-raw layout), or use --loss gain/reference.",
+            flush=True,
+        )
+
+
 def cmd_train(args) -> int:
     from tpumix.config import TrainConfig, preset
     from tpumix.data.dataset import MultitrackAudioDataset
@@ -230,6 +273,8 @@ def cmd_train(args) -> int:
     else:
         train_loader = BatchIterator(d_train, args.batch_size, seed=args.seed)
         val_loader = BatchIterator(d_val, args.batch_size, shuffle=False, seed=args.seed)
+    if args.loss.startswith("lstsq"):
+        _warn_if_lstsq_degenerate(val_loader)
     start = trainer.resume() if args.resume else 0
     result = trainer.fit(train_loader, val_loader, start, args.epochs)
     print(json.dumps({
@@ -494,7 +539,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail"],
+    sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "lstsq_tail_cm"],
                     help="reference = dB-linear masked-sum MSE (parity); "
                          "roundtrip = gains supervised through the inference map")
     sp.add_argument("--bn-momentum", type=float, default=0.10,
@@ -571,7 +616,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
-    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "gain"],
+    sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "lstsq_tail_cm", "gain"],
                     help="gain (default): MSE against the generator's true "
                          "gain labels — the only per-stem-identifiable "
                          "objective on this family (spectrogram magnitudes of "

@@ -193,8 +193,13 @@ class TrainConfig:
     #               (state._lstsq_gain_targets) — the flagship 0.14 LU
     #               self-supervised objective; assumes a clean gain-sum bus
     # "lstsq_tail": lstsq with a data-driven comb-tail basis that absorbs
-    #               mix-bus reverb (state._lstsq_tail_gain_targets) — use on
-    #               human-mixed corpora
+    #               mix-bus reverb (state._lstsq_tail_gain_targets) —
+    #               measured 0.26 LU under a reverb bus (docs/results)
+    # "lstsq_tail_cm": lstsq_tail + per-item target common mode recentered
+    #               to the batch mean — additionally absorbs the
+    #               level-tracking common-mode bias a bus comp/limiter
+    #               injects (state._lstsq_loss recenter_cm); the
+    #               recommendation for human-mixed corpora
     # "gain":       direct MSE on generator gain labels — SyntheticTrainer
     #               only (tpumix.train.state.make_gain_train_step)
     loss: str = "reference"

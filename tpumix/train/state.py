@@ -221,8 +221,25 @@ def make_gain_eval_step(model, frontend: FrontendConfig) -> Callable:
 #: delayed-sum regressors so mix-bus reverb lands in the tail coefficients
 #: instead of biasing the gains (measured round 4: reverb-family target
 #: bias 0.72 -> 0.16 dB mean; degenerates to plain lstsq on clean mixes —
-#: see _lstsq_tail_gain_targets).
-SELF_SUPERVISED_LOSSES = ("reference", "roundtrip", "coherent", "lstsq", "lstsq_tail")
+#: see _lstsq_tail_gain_targets).  "lstsq_tail_cm" additionally recenters
+#: each item's target COMMON MODE to the batch mean: mix-bus compression/
+#: limiting biases all four gains of a chunk together by an amount that
+#: tracks the chunk's level — a per-chunk-VARYING common mode that the
+#: relative-loudness metric does not cancel (it modulates dynamics across
+#: the song), measured round 5 as the 2.34-LU failure of lstsq_tail under
+#: the comp+limiter bus (benchmarks/lstsq_bias_split.py,
+#: docs/results/synthetic_eval).  Recentering removes exactly that
+#: variation from the supervision while the batch-mean anchor keeps
+#: absolute level identifiable; on a clean bus the common mode is already
+#: constant, so the recentering is a no-op in expectation.
+SELF_SUPERVISED_LOSSES = (
+    "reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "lstsq_tail_cm"
+)
+
+
+def _is_lstsq(loss: str) -> bool:
+    """The closed-form-target objective family (shared dispatch)."""
+    return loss in ("lstsq", "lstsq_tail", "lstsq_tail_cm")
 
 
 def _solve_amp(regs: jax.Array, target: jax.Array) -> jax.Array:
@@ -368,13 +385,25 @@ def _coherent_loss(stems: jax.Array, mix: jax.Array, gains: jax.Array) -> jax.Ar
 
 
 def _lstsq_loss(
-    stems: jax.Array, mix: jax.Array, gains: jax.Array, tail: bool = False
+    stems: jax.Array,
+    mix: jax.Array,
+    gains: jax.Array,
+    tail: bool = False,
+    recenter_cm: bool = False,
 ) -> jax.Array:
     """MSE against the closed-form per-item gain targets (shared by train
     and eval; stop_gradient makes the targets data, a no-op under eval).
-    ``tail=True`` selects the tail-robust solve (:func:`_lstsq_tail_gain_targets`)."""
+    ``tail=True`` selects the tail-robust solve
+    (:func:`_lstsq_tail_gain_targets`); ``recenter_cm=True`` replaces each
+    item's common mode (mean over stems) with the batch mean, removing the
+    per-chunk common-mode variation a comp/limiter bus injects into the
+    targets (see SELF_SUPERVISED_LOSSES) while anchoring absolute level."""
     targets = _lstsq_tail_gain_targets if tail else _lstsq_gain_targets
-    g_star = jax.lax.stop_gradient(targets(stems, mix))
+    g_star = targets(stems, mix)
+    if recenter_cm:
+        cm = jnp.mean(g_star, axis=1, keepdims=True)  # [B, 1]
+        g_star = g_star - cm + jnp.mean(cm)
+    g_star = jax.lax.stop_gradient(g_star)
     return jnp.mean(jnp.square(gains - g_star))
 
 
@@ -454,7 +483,7 @@ def make_train_step(
 
         feats = _features(stems)  # [B, 4, F, T]
         feats = _constrain(feats, (dp_axis, None, None, sp_axis))
-        if loss in ("coherent", "lstsq", "lstsq_tail"):
+        if loss == "coherent" or _is_lstsq(loss):
             gt = None  # waveform-domain objectives never consume the mix
         else:  # spectrogram of the mix
             gt = _constrain(_features(mix), (dp_axis, None, sp_axis))
@@ -469,9 +498,10 @@ def make_train_step(
             )
             if loss == "coherent":
                 return _coherent_loss(stems, mix, gains), (mutated["batch_stats"], gains)
-            if loss in ("lstsq", "lstsq_tail"):
+            if _is_lstsq(loss):
                 return (
-                    _lstsq_loss(stems, mix, gains, tail=loss == "lstsq_tail"),
+                    _lstsq_loss(stems, mix, gains, tail=loss != "lstsq",
+                                recenter_cm=loss == "lstsq_tail_cm"),
                     (mutated["batch_stats"], gains),
                 )
             if loss == "roundtrip":
@@ -514,8 +544,9 @@ def make_eval_step(model, frontend: FrontendConfig, loss: str = "reference") -> 
         )
         if loss == "coherent":
             return _coherent_loss(stems, mix, gains)
-        if loss in ("lstsq", "lstsq_tail"):
-            return _lstsq_loss(stems, mix, gains, tail=loss == "lstsq_tail")
+        if _is_lstsq(loss):
+            return _lstsq_loss(stems, mix, gains, tail=loss != "lstsq",
+                               recenter_cm=loss == "lstsq_tail_cm")
         gt = _features(mix)
         if loss == "roundtrip":
             masked = _roundtrip_masked_db(feats, gains, frontend.amin)

@@ -49,13 +49,13 @@ def resolve_patience(patience: Optional[int], loss: str) -> int:
     The lstsq objectives have a measured MID-RUN val plateau (epochs ~40-55
     on the flagship recipe) deep enough that patience 10 stops there
     (0.49 LU vs the flagship's 0.14, docs/results/synthetic_eval/README.md)
-    — so lstsq/lstsq_tail default to 30 (the measured plateau-crossing
+    — so the lstsq family defaults to 30 (the measured plateau-crossing
     value); everything else keeps the reference's ignite
     EarlyStopping(patience=10) parity (training_ignite.ipynb cell 13).
     An explicit value always wins."""
     if patience is not None:
         return patience
-    return 30 if loss in ("lstsq", "lstsq_tail") else 10
+    return 30 if loss in ("lstsq", "lstsq_tail", "lstsq_tail_cm") else 10
 
 
 @dataclasses.dataclass
