@@ -390,6 +390,31 @@ class TestResumeHalfWrittenCheckpoint:
         assert not os.path.exists(stale)  # staging dir swept
 
 
+class TestAugmentMixPlumbing:
+    """TrainConfig.augment_mix (CLI --augment-stems-only) must reach
+    make_train_step: the reference's all-five-tracks augmentation re-gains
+    the mix independently of the stems, which turns lstsq-family targets
+    into irreducible common-mode noise (measured round 5, docs/TUTORIAL.md)
+    — stem-only augmentation is the documented deviation for that family."""
+
+    def test_config_flag_reaches_train_step(self, monkeypatch, tmp_path):
+        import tpumix.train.trainer as tr_mod
+
+        captured = {}
+        real = tr_mod.make_train_step
+
+        def spy(*a, **kw):
+            captured.update(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(tr_mod, "make_train_step", spy)
+        cfg = TrainConfig(batch_size=8, num_epochs=1, checkpoint_dir=str(tmp_path),
+                          seed=0, augment=True, augment_mix=False)
+        Trainer(MixingModelScalar1s(), FRONTEND, cfg, (1, 4, 129, 47), run_name="am")
+        assert captured["augment_mix"] is False
+        assert captured["augment"] is True
+
+
 class TestFitEndEpochSemantics:
     """fit's 4th argument is the run's TOTAL length (exclusive end epoch),
     not a per-call increment — a stall-segmented --resume run must stop at

@@ -244,6 +244,7 @@ def cmd_train(args) -> int:
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=step_augment,
+        augment_mix=not args.augment_stems_only,
         early_stopping_patience=_resolve_patience(args.patience, args.loss),
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
         transfer_dtype=wire_dtype,
@@ -301,6 +302,7 @@ def cmd_train_synth(args) -> int:
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=args.augment,
+        augment_mix=not args.augment_stems_only,
         early_stopping_patience=_resolve_patience(args.patience, args.loss),
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
         checkpoint_score="val",  # synthetic runs pick artifacts by val loss
@@ -539,6 +541,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
+    sp.add_argument("--augment-stems-only", action="store_true",
+                    help="with --augment: re-gain only the stems, keep the "
+                         "supervision mix clean (reference parity augments all "
+                         "five tracks; the independent mix gain is unobservable "
+                         "from the stems, which makes lstsq-family targets "
+                         "noisy — docs/TUTORIAL.md)")
     sp.add_argument("--loss", default="reference", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "lstsq_tail_cm"],
                     help="reference = dB-linear masked-sum MSE (parity); "
                          "roundtrip = gains supervised through the inference map")
@@ -616,6 +624,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
+    sp.add_argument("--augment-stems-only", action="store_true",
+                    help="with --augment: re-gain only the stems, keep the "
+                         "supervision mix clean (reference parity augments all "
+                         "five tracks; the independent mix gain is unobservable "
+                         "from the stems, which makes lstsq-family targets "
+                         "noisy — docs/TUTORIAL.md)")
     sp.add_argument("--loss", default="gain", choices=["reference", "roundtrip", "coherent", "lstsq", "lstsq_tail", "lstsq_tail_cm", "gain"],
                     help="gain (default): MSE against the generator's true "
                          "gain labels — the only per-stem-identifiable "

@@ -182,6 +182,14 @@ class TrainConfig:
     seed: int = 0
     log_every_steps: int = 30  # ignite iteration logging cadence (cell 14)
     augment: bool = False
+    # reference parity: augmentation re-gains ALL FIVE tracks, the mix
+    # included (reference data/dataset.py:185-199).  False keeps the
+    # supervision mix clean (stem-only augmentation) — REQUIRED for the
+    # lstsq-family objectives under --augment: an independent mix gain is
+    # unobservable from the stems, so it turns the closed-form targets into
+    # irreducible common-mode noise (measured round 5: train-loss floor
+    # ~0.067 scalar^2 on a file corpus; docs/TUTORIAL.md)
+    augment_mix: bool = True
     # "reference":  dB-linear masked-sum MSE (parity, model_trainer.py:25-44)
     # "roundtrip":  gains supervised through the reference inference map
     #               10**(0.5 g) in the amplitude domain (tpumix extension —

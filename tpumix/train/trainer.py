@@ -135,7 +135,8 @@ class Trainer:
             train_step = eval_step = None
         else:
             train_step = make_train_step(
-                model, frontend, self.tx, augment=config.augment, loss=config.loss
+                model, frontend, self.tx, augment=config.augment,
+                augment_mix=config.augment_mix, loss=config.loss,
             )
             eval_step = make_eval_step(model, frontend, loss=config.loss)
         if mesh is not None:
@@ -482,7 +483,8 @@ class SyntheticTrainer(Trainer):
             eval_step = make_gain_eval_step(model, frontend)
         else:
             base_step = make_train_step(
-                model, frontend, self.tx, augment=config.augment, loss=config.loss,
+                model, frontend, self.tx, augment=config.augment,
+                augment_mix=config.augment_mix, loss=config.loss,
                 mesh=mesh, dp_axis="dp" if mesh is not None else None,
             )
             eval_step = make_eval_step(model, frontend, loss=config.loss)
