@@ -327,6 +327,21 @@ class TestPatienceDefaults:
         args = p.parse_args(["train-synth"])
         assert args.patience is None
 
+    def test_checkpoint_score_defaults(self):
+        """train keeps ignite parity (-train_mse); train-synth keeps its
+        historical val-best artifact selection.  Both accept the flag —
+        under 'train' scoring the val-best checkpoint early stopping picked
+        may be PRUNED by keep-best-k (hit live round 5: a file-corpus run's
+        best-val epoch 31 was gone, only best-train epochs survived)."""
+        from tpumix.cli import build_parser
+
+        p = build_parser()
+        assert p.parse_args(["train", "--data", "x"]).checkpoint_score == "train"
+        assert p.parse_args(["train-synth"]).checkpoint_score == "val"
+        assert p.parse_args(
+            ["train", "--data", "x", "--checkpoint-score", "val"]
+        ).checkpoint_score == "val"
+
     def test_trainer_resolves_per_loss_default(self, tmp_path):
         """Round-4 judge finding: the per-loss default must hold for
         PROGRAMMATIC construction too, not only through the CLI — a

@@ -244,6 +244,7 @@ def cmd_train(args) -> int:
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=step_augment,
+        checkpoint_score=args.checkpoint_score,
         augment_mix=not args.augment_stems_only,
         early_stopping_patience=_resolve_patience(args.patience, args.loss),
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
@@ -302,10 +303,10 @@ def cmd_train_synth(args) -> int:
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, num_epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed, augment=args.augment,
+        checkpoint_score=args.checkpoint_score,
         augment_mix=not args.augment_stems_only,
         early_stopping_patience=_resolve_patience(args.patience, args.loss),
         keep_checkpoints=args.keep_checkpoints, loss=args.loss,
-        checkpoint_score="val",  # synthetic runs pick artifacts by val loss
         lr_schedule=args.lr_schedule,
         lr_total_steps=args.epochs * args.steps_per_epoch,
     )
@@ -538,6 +539,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "plateau that patience 10 stops at, 3.5x off the "
                          "record; others: 10, ignite parity)")
     sp.add_argument("--keep-checkpoints", type=int, default=None)
+    sp.add_argument("--checkpoint-score", default="train", choices=["train", "val"],
+                    help="keep-best-k ranking: 'train' = ignite parity "
+                         "(-train_mse); 'val' keeps the best VALIDATION "
+                         "epochs — use for runs whose best-val checkpoint "
+                         "will be exported as an inference artifact "
+                         "(early stopping always judges val, so under "
+                         "'train' the artifact it picked may be pruned)")
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
@@ -621,6 +629,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(lstsq: 30 to cross its measured mid-run val "
                          "plateau, others: 10)")
     sp.add_argument("--keep-checkpoints", type=int, default=None)
+    sp.add_argument("--checkpoint-score", default="val", choices=["train", "val"],
+                    help="keep-best-k ranking: 'train' = ignite parity "
+                         "(-train_mse); 'val' keeps the best VALIDATION "
+                         "epochs — use for runs whose best-val checkpoint "
+                         "will be exported as an inference artifact "
+                         "(early stopping always judges val, so under "
+                         "'train' the artifact it picked may be pruned)")
     sp.add_argument("--checkpoint-dir", default="./checkpoints")
     sp.add_argument("--run-name", default=None)
     sp.add_argument("--augment", action="store_true")
