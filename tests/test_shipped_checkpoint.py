@@ -44,7 +44,8 @@ def song():
 
 class TestShippedCheckpoint:
     @pytest.mark.parametrize("name", ["scalar2sL_synth", "scalar1sL_synth", "scalar2s_synth",
-                                      "scalar2s_lstsq_selfsup", "resnet18_synth"])
+                                      "scalar2s_lstsq_selfsup", "resnet18_synth",
+                                      "scalar2s_filecorpus"])
     def test_artifact_exists_and_loads(self, name):
         path = checkpoint_path(name)
         assert os.path.getsize(path) > 1_000_000  # real weights, not a stub
@@ -178,3 +179,38 @@ class TestResnetArtifact:
         true_db = 20.0 * np.log10([true_gains[s] for s in STEMS])
         rel = (pred_db - true_db) - (pred_db - true_db).mean()
         assert np.mean(np.abs(rel)) < 1.5, rel
+
+
+class TestFilecorpusArtifact:
+    """scalar2s_filecorpus: the file-corpus regime demonstrated end to end —
+    the reference's actual training pipeline shape (disk corpus -> dataset ->
+    batches -> device; reference model_trainer.py:25-44, training.ipynb
+    cell 6), run here as `train --device-corpus` on the 32-song raw-stems
+    synthetic corpus (supervision layout: raw session stems + the engineer's
+    mix, synth-data --train-raw) with stem-only augmentation and val-scored
+    best-k.  Quality is corpus-size-bound (26 train songs): 1.31 LU held-out
+    (stats_scalar2s_devcorpus.csv) — beats sum (2.32) and random (2.82),
+    NOT loudnorm (0.78); the on-device synthetic stream remains the quality
+    recipe, this artifact records the corpus REGIME."""
+
+    GOLDEN_W0 = np.array([0.00344, -0.09765, -0.03055, 0.48654])
+
+    def test_golden_forward(self):
+        cfg = preset("scalar2s")
+        mixer = SongMixer(build_model(cfg), load_checkpoint("scalar2s_filecorpus"), cfg)
+        presented, _, _ = make_synth_song(123, duration_s=12.0)
+        g = mixer.song_gains(np.stack([presented[s] for s in STEMS]))
+        np.testing.assert_allclose(g[0], self.GOLDEN_W0, atol=2e-3)
+
+    def test_committed_quality_record(self):
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "results", "synthetic_eval",
+            "stats_scalar2s_devcorpus.csv",
+        )
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        mean = rows[-1]
+        assert mean["song_name"] == "Mean"
+        mix = float(mean["mix_error"])
+        assert mix < float(mean["sum_error"])
+        assert mix < float(mean["random_error"])
