@@ -222,6 +222,35 @@ class TestCLITrain:
         assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
 
 
+class TestRunDirCheckpointResolution:
+    """evaluate/mix/serve --checkpoint accepts a trainer RUN directory and
+    resolves it to the best-scored KEPT epoch via scores.json (users were
+    reading the ledger by hand; entries whose dirs were pruned by
+    keep-best-k must not win)."""
+
+    def test_picks_best_kept_epoch(self, tmp_path, capsys):
+        import json as _json
+
+        from tpumix.cli import _resolve_run_dir
+
+        run = tmp_path / "run"
+        run.mkdir()
+        # epoch 7 scores best but was pruned; 5 is the best KEPT
+        (run / "scores.json").write_text(
+            _json.dumps({"3": -0.5, "5": -0.1, "7": -0.05})
+        )
+        (run / "epoch_0003").mkdir()
+        (run / "epoch_0005").mkdir()
+        assert _resolve_run_dir(str(run)) == str(run / "epoch_0005")
+
+    def test_passthrough_without_ledger(self, tmp_path):
+        from tpumix.cli import _resolve_run_dir
+
+        d = tmp_path / "epoch_0004"
+        d.mkdir()
+        assert _resolve_run_dir(str(d)) == str(d)
+
+
 class TestLstsqDegenerateGuard:
     """cmd_train's loud warning for lstsq-family supervision on corpora
     whose mixture.wav is the plain stem sum (closed-form targets ~= 0 ->

@@ -88,6 +88,7 @@ def _load_variables(checkpoint: str):
         from tpumix.models.convert import load_npz
 
         return load_npz(checkpoint)
+    checkpoint = _resolve_run_dir(checkpoint)
     import jax
     import orbax.checkpoint as ocp
 
@@ -106,6 +107,28 @@ def _load_variables(checkpoint: str):
     )
     restored = ckptr.restore(path, target)
     return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+
+def _resolve_run_dir(checkpoint: str) -> str:
+    """A trainer RUN directory resolves to its best-scored kept epoch
+    (ledger written by Trainer.save_checkpoint; higher score = better,
+    -val_loss or -train_mse by TrainConfig.checkpoint_score) instead of
+    making the user read scores.json themselves; anything else passes
+    through untouched."""
+    scores_path = os.path.join(checkpoint, "scores.json")
+    if not os.path.exists(scores_path):
+        return checkpoint
+    with open(scores_path) as f:
+        scores = {int(k): float(v) for k, v in json.load(f).items()}
+    kept = {
+        ep: s for ep, s in scores.items()
+        if os.path.isdir(os.path.join(checkpoint, f"epoch_{ep:04d}"))
+    }
+    if not kept:
+        return checkpoint
+    best = max(kept, key=kept.get)
+    print(f"[checkpoint] run dir given; using best-scored epoch {best}", flush=True)
+    return os.path.join(checkpoint, f"epoch_{best:04d}")
 
 
 def _resolve_patience(patience, loss: str) -> int:
